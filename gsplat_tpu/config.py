@@ -1,0 +1,107 @@
+"""Static render/pipeline configuration.
+
+The reference (ldyken53/gaussian-splatting-wgpu) configures its pipeline through
+HTML controls and WGSL string substitution (reference: index.html:20-24,
+src/renderer.ts:280, src/radix_sort/sort.ts:116-133) and hardcodes its numerical
+magic constants inside the shaders (0.3 low-pass, 1.3 tan-fov clamp, 3-sigma
+radius, 0.99 alpha clamp, 1/255 alpha floor, 1e-4 transmittance floor --
+src/process_gaussians.wgsl, src/compute_tiles.wgsl:57-65).
+
+TPU-native equivalent: one frozen, hashable dataclass that is *static under
+jit*. Every shape-determining quantity (resolution, tile size, intersection
+capacity) lives here so the whole pipeline compiles once with static shapes --
+this replaces the reference's per-frame dynamic buffer allocation
+(src/renderer.ts:439-441) and its mid-frame CPU readback of the intersection
+count (src/exclusive_scan.ts:311-324).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Image / tiling (reference: index.html:19-24 -- 800x800 canvas, tile 16).
+    width: int = 800
+    height: int = 800
+    tile_size: int = 16
+
+    # Static capacity of the (tile, depth)-keyed intersection stream. The
+    # reference sizes this dynamically per frame from a GPU->CPU readback
+    # (renderer.ts:419-441); we use a fixed padded capacity + overflow flag so
+    # the pipeline is one jitted graph.
+    max_intersections: int = 1 << 18
+    # Static bound on tiles touched per Gaussian (rect area cap). Gaussians
+    # whose screen rect covers more tiles are truncated (row-major prefix of
+    # the rect) and flagged.
+    max_tiles_per_gaussian: int = 64
+    # Gaussians blended per vectorized block. P = tile_size**2 pixels are
+    # blended against G = block_size Gaussians at a time.
+    block_size: int = 16
+    # Static per-tile intersection cap for the pure-jnp tiled rasterizer
+    # (must be a multiple of block_size). The Pallas kernel has no such cap
+    # (it loops the true dynamic range).
+    max_per_tile: int = 2048
+
+    # Splatting constants (reference: src/process_gaussians.wgsl:75-77,180,213
+    # and src/compute_tiles.wgsl:60-63).
+    scale_modifier: float = 1.0
+    sh_degree: int = 3
+    frustum_ndc_limit: float = 1.1
+    lowpass: float = 0.3
+    radius_sigma: float = 3.0
+    eigen_clamp: float = 0.1
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    transmittance_min: float = 1e-4
+
+    # 'sort': emit N*K_max keys with sentinels and sort them all (best when
+    #   N*K_max is comparable to max_intersections).
+    # 'scatter': cumsum offsets + scatter into the capacity buffer, then sort
+    #   max_intersections keys (best when N*K_max >> max_intersections).
+    binning: str = "sort"
+    # Rasterizer implementation: 'jnp' (pure XLA, differentiable by autodiff
+    # or the shared analytic VJP) or 'pallas' (fused TPU kernel, custom VJP).
+    impl: str = "jnp"
+    # Gaussians per Pallas blend block (lane dimension; multiple of 128).
+    pallas_block_size: int = 256
+
+    # ---- derived (static) ----
+    @property
+    def tiles_x(self) -> int:
+        return cdiv(self.width, self.tile_size)
+
+    @property
+    def tiles_y(self) -> int:
+        return cdiv(self.height, self.tile_size)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_size * self.tile_size
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile_size
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile_size
+
+    def __post_init__(self):
+        if self.max_per_tile % self.block_size != 0:
+            raise ValueError("max_per_tile must be a multiple of block_size")
+        if self.tile_size < 1:
+            raise ValueError("tile_size must be positive")
+        if self.binning not in ("sort", "scatter"):
+            raise ValueError(f"unknown binning mode {self.binning!r}")
+        if self.impl not in ("jnp", "pallas"):
+            raise ValueError(f"unknown impl {self.impl!r}")

@@ -1,0 +1,168 @@
+"""Tile binning: duplicate Gaussians per covered tile, order by (tile, depth),
+compute per-tile ranges, gather the sorted feature stream.
+
+Reference pipeline being replaced (all of it collapses into this module):
+  - exclusive prefix-sum over per-Gaussian tile counts
+      (reference: src/exclusive_scan.ts + prefix_sum.wgsl/block_prefix_sum.wgsl/
+       add_block_sums.wgsl) -> ``jnp.cumsum`` (XLA emits the multi-block scan).
+  - per-(tile,depth) key emission with decimal packing ``tile*1000 + 50*depth``
+      (reference: src/write_tile_ids.wgsl:23-35) -> exact lexicographic
+      (int32 tile, float32 depth) two-key sort; no depth quantization, no
+      4.29M-tile overflow.
+  - 32-bit LSD radix sort with decoupled lookback
+      (reference: src/radix_sort/sort.ts + radix_sort.wgsl) ->
+      ``jax.lax.sort(..., num_keys=2)`` (XLA's TPU sort). The lookback
+      spin-wait pattern does not exist on TPU.
+  - range compaction (reference: src/compute_ranges.wgsl) ->
+      one ``jnp.searchsorted`` over the sorted tile ids.
+
+Static-shape discipline: capacity is ``cfg.max_intersections``; the
+reference's per-frame CPU readback + reallocation (renderer.ts:419-441)
+becomes an overflow flag. Two binning strategies (cfg.binning):
+  'sort':    sort all N*K_max candidate keys (sentinel-padded) and keep the
+             first max_intersections -- pure sort, no scatter.
+  'scatter': cumsum offsets + scatter into the capacity buffer, then sort
+             max_intersections keys -- wins when N*K_max >> capacity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.ops.camera import Camera
+from gsplat_tpu.ops.projection import ProjectedGaussians
+
+# Feature-row indices of the gathered sorted stream (F, max_intersections).
+FEAT_GX = 0      # gaussian center x in pixels
+FEAT_GY = 1
+FEAT_CA = 2      # conic A
+FEAT_CB = 3      # conic B
+FEAT_CC = 4      # conic C
+FEAT_R = 5
+FEAT_G = 6
+FEAT_B = 7
+FEAT_OPACITY = 8
+FEAT_DEPTH = 9
+NUM_FEATURES = 10
+
+
+@struct.dataclass
+class BinnedGaussians:
+    sorted_tile: jnp.ndarray   # (max_I,) int32, sentinel = num_tiles
+    sorted_gid: jnp.ndarray    # (max_I,) int32 gaussian index per slot
+    ranges: jnp.ndarray        # (num_tiles + 1,) int32; tile t spans
+    #                          #   [ranges[t], ranges[t+1])
+    num_intersections: jnp.ndarray  # () int32 true total (may exceed capacity)
+    overflow: jnp.ndarray      # () bool: capacity or K_max exceeded
+
+
+def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
+    """Expand each Gaussian into its K_max candidate (tile, depth, gid)
+    triples; entry k is valid iff k < counts[gid]. Row-major walk of the
+    rect, like the reference's write_tile_ids loop
+    (reference: src/write_tile_ids.wgsl:23-35)."""
+    n = proj.mask.shape[0]
+    kmax = cfg.max_tiles_per_gaussian
+    k = jnp.arange(kmax, dtype=jnp.int32)[None, :]            # (1, K)
+    rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)[:, None]
+    tx = proj.rect[:, 0:1] + k % rect_w
+    ty = proj.rect[:, 1:2] + k // rect_w
+    tile = ty * cfg.tiles_x + tx                              # (N, K)
+    valid = k < proj.counts[:, None]                          # (N, K)
+    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile.shape)
+    depth = jnp.broadcast_to(proj.depth[:, None], tile.shape)
+    return tile, depth, gid, valid
+
+
+def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> BinnedGaussians:
+    max_i = cfg.max_intersections
+    sentinel = jnp.int32(cfg.num_tiles)
+    tile, depth, gid, valid = _candidate_tiles(proj, cfg)
+    total = jnp.sum(proj.counts).astype(jnp.int32)
+    overflow = proj.overflow | (total > max_i)
+
+    tile_f = jnp.where(valid, tile, sentinel).reshape(-1)
+    depth_f = jnp.where(valid, depth, jnp.inf).reshape(-1).astype(jnp.float32)
+    gid_f = gid.reshape(-1)
+
+    if cfg.binning == "sort":
+        # Sentinel-keyed entries sort to the back; valid prefix is ordered by
+        # (tile, depth). Depth is a stop-gradient sort key by construction
+        # (int/float values only flow through ordering, not arithmetic).
+        s_tile, _, s_gid = jax.lax.sort(
+            (tile_f, jax.lax.stop_gradient(depth_f), gid_f), num_keys=2
+        )
+        if s_tile.shape[0] >= max_i:
+            s_tile = s_tile[:max_i]
+            s_gid = s_gid[:max_i]
+        else:
+            pad = max_i - s_tile.shape[0]
+            s_tile = jnp.concatenate([s_tile, jnp.full((pad,), sentinel, jnp.int32)])
+            s_gid = jnp.concatenate([s_gid, jnp.zeros((pad,), jnp.int32)])
+    else:  # 'scatter'
+        offsets = jnp.cumsum(proj.counts) - proj.counts        # exclusive
+        k = jnp.arange(cfg.max_tiles_per_gaussian, dtype=jnp.int32)[None, :]
+        slot = offsets[:, None].astype(jnp.int32) + k
+        slot = jnp.where(valid & (slot < max_i), slot, max_i)  # trash slot
+        slot_f = slot.reshape(-1)
+        tile_buf = jnp.full((max_i + 1,), sentinel, jnp.int32).at[slot_f].set(
+            tile_f, mode="drop"
+        )[:max_i]
+        depth_buf = jnp.full((max_i + 1,), jnp.inf, jnp.float32).at[slot_f].set(
+            depth_f, mode="drop"
+        )[:max_i]
+        gid_buf = jnp.zeros((max_i + 1,), jnp.int32).at[slot_f].set(
+            gid_f, mode="drop"
+        )[:max_i]
+        s_tile, _, s_gid = jax.lax.sort(
+            (tile_buf, jax.lax.stop_gradient(depth_buf), gid_buf), num_keys=2
+        )
+
+    # Range compaction: one searchsorted replaces the reference's
+    # compute_ranges kernel (and fixes its 0xFFFFFFFE/0xFFFFFFFF sentinel
+    # mismatch, reference: src/compute_ranges.wgsl:13 vs radix_sort.wgsl:78).
+    ranges = jnp.searchsorted(
+        s_tile, jnp.arange(cfg.num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    return BinnedGaussians(
+        sorted_tile=s_tile,
+        sorted_gid=jax.lax.stop_gradient(s_gid),
+        ranges=jax.lax.stop_gradient(ranges),
+        num_intersections=total,
+        overflow=overflow,
+    )
+
+
+def gather_features(
+    proj: ProjectedGaussians, binned: BinnedGaussians, cfg: RenderConfig
+) -> jnp.ndarray:
+    """Gather the per-Gaussian render features into sorted-stream order.
+
+    Returns (NUM_FEATURES, max_intersections) float32 -- feature-major so the
+    blend kernels DMA contiguous (F, G) blocks with Gaussians along lanes.
+    The gather is differentiable: its transpose (scatter-add of per-slot
+    gradients back to Gaussians) is exactly the gradient accumulation the
+    CUDA 3DGS backward does with atomics, but expressed as one XLA scatter.
+    """
+    gx = proj.uv[:, 0] * cfg.width
+    gy = proj.uv[:, 1] * cfg.height
+    feats = jnp.stack(
+        [
+            gx,
+            gy,
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            proj.color[:, 0],
+            proj.color[:, 1],
+            proj.color[:, 2],
+            proj.opacity,
+            proj.depth,
+        ],
+        axis=0,
+    ).astype(jnp.float32)  # (F, N)
+    return jnp.take(feats, binned.sorted_gid, axis=1)

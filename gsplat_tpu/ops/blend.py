@@ -1,0 +1,261 @@
+"""Front-to-back alpha blending -- the shared block math used by BOTH the
+pure-jnp tiled rasterizer and the fused Pallas TPU kernels (forward and the
+hand-derived backward).
+
+Semantics follow the reference blend loop (reference: src/compute_tiles.wgsl:
+49-66): power = -0.5*(A*dx^2 + C*dy^2) - B*dx*dy from the conic,
+alpha = min(0.99, opacity * exp(power)), skip when power > 0 or
+alpha < 1/255, terminate when transmittance would drop below 1e-4,
+color += cond * c * alpha * T, T *= (1 - alpha).
+
+One deliberate divergence (documented; see SURVEY.md "quirks"): when the
+transmittance test fails, the reference keeps testing later Gaussians
+(compute_tiles.wgsl:63-65) while the original 3DGS CUDA rasterizer terminates
+the pixel permanently. We adopt permanent termination: it is the
+training-standard semantics, makes T monotone (enabling early exit), and
+admits the fully vectorized cumulative-product formulation below.
+
+Vectorized formulation (the TPU-native trick): within a block of G depth-
+ordered Gaussians x P pixels, the sequential transmittance recurrence
+    T_{i+1} = T_i * (1 - a_i)
+becomes a cumulative product P_i = T_in * prod_{j<=i}(1 - a_j), computed as
+exp(cumsum(log1p(-a))). The cumsum along the Gaussian axis is an associative
+scan -- in the Pallas kernel it is ONE (P,G)x(G,G) upper-triangular matmul on
+the MXU. Contributions are w_i = a_i * P_i / (1 - a_i) (= a_i * T_before_i),
+valid while P_i >= t_min (valid lanes form a prefix because P is monotone).
+Color accumulation and the backward suffix sums are likewise matmuls.
+
+The backward pass needs no stored per-Gaussian state: since
+sum_j w_j * c_j = final_color, the suffix sums S_i = sum_{j>i} (c_j . g) w_j
+needed for dL/da_i are recovered in a single forward re-walk as
+(g . final_color) - cumsum((c_i . g) w_i) -- the same trick the CUDA 3DGS
+backward uses with its back-to-front walk, but prefix-sum-vectorized.
+
+Shapes (shared by jnp and Pallas callers):
+  feat:  (NUM_FEATURES, G)  Gaussian block, depth-ordered along axis 1
+  px,py: (P, 1)             pixel centers
+  color: (3, P) carry; trans/done: (P, 1) carries
+All functions are pure jnp on those shapes, so the Pallas kernels call them
+directly on VMEM refs' values.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.ops.binning import (
+    FEAT_CA,
+    FEAT_CB,
+    FEAT_CC,
+    FEAT_GX,
+    FEAT_GY,
+    FEAT_OPACITY,
+    FEAT_R,
+    NUM_FEATURES,
+)
+
+
+class BlendCarry(NamedTuple):
+    color: jnp.ndarray  # (3, P)
+    trans: jnp.ndarray  # (P, 1) current transmittance T
+    done: jnp.ndarray   # (P, 1) float32 0/1 permanent-termination flag
+
+
+def init_carry(num_pixels: int, dtype=jnp.float32) -> BlendCarry:
+    return BlendCarry(
+        color=jnp.zeros((3, num_pixels), dtype),
+        trans=jnp.ones((num_pixels, 1), dtype),
+        done=jnp.zeros((num_pixels, 1), dtype),
+    )
+
+
+def cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the last (Gaussian) axis. The Pallas kernels
+    substitute a triangular-matmul version that runs on the MXU."""
+    return jnp.cumsum(x, axis=-1)
+
+
+def triangular_cumsum(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """cumsum via (P,G) @ (G,G) upper-triangular ones matrix -- MXU-native."""
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
+def make_triangular(g: int, dtype=jnp.float32) -> jnp.ndarray:
+    """tri[j, i] = 1 if j <= i, so (x @ tri)[p, i] = sum_{j<=i} x[p, j]."""
+    import jax
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (row <= col).astype(dtype)
+
+
+def _block_weights(
+    carry: BlendCarry,
+    feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    in_range: jnp.ndarray,
+    cfg: RenderConfig,
+    cumsum_fn: Callable,
+):
+    """Shared fwd/bwd recomputation: per-(pixel, Gaussian) effective alpha
+    `a`, running transmittance-after `p_incl`, contribution weight `w`, and
+    the updated (trans, done) carries."""
+    gx = feat[FEAT_GX][None, :]
+    gy = feat[FEAT_GY][None, :]
+    ca = feat[FEAT_CA][None, :]
+    cb = feat[FEAT_CB][None, :]
+    cc = feat[FEAT_CC][None, :]
+    op = feat[FEAT_OPACITY][None, :]
+
+    dx = px - gx  # (P, G); sign convention irrelevant (quadratic form)
+    dy = py - gy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    e = jnp.exp(power)
+    alpha_u = op * e
+    alpha = jnp.minimum(cfg.alpha_clamp, alpha_u)
+    ok = (
+        (power <= 0.0)
+        & (alpha >= cfg.alpha_min)
+        & in_range
+        & (carry.done < 0.5)
+    )
+    a = jnp.where(ok, alpha, 0.0)
+
+    p_incl = carry.trans * jnp.exp(cumsum_fn(jnp.log1p(-a)))  # (P, G)
+    valid = p_incl >= cfg.transmittance_min
+    # T before this Gaussian; safe because 1 - a >= 1 - alpha_clamp.
+    t_before = p_incl / (1.0 - a)
+    w = jnp.where(valid, a * t_before, 0.0)
+
+    trigger = (a > 0.0) & ~valid
+    new_trans = jnp.minimum(
+        carry.trans,
+        jnp.min(jnp.where(valid, p_incl, jnp.inf), axis=-1, keepdims=True),
+    )
+    new_done = jnp.maximum(
+        carry.done, jnp.any(trigger, axis=-1, keepdims=True).astype(carry.done.dtype)
+    )
+    aux = dict(
+        dx=dx, dy=dy, e=e, alpha_u=alpha_u, a=a, ok=ok, valid=valid,
+        t_before=t_before, ca=ca, cb=cb, cc=cc, op=op,
+    )
+    return w, new_trans, new_done, aux
+
+
+def blend_block(
+    carry: BlendCarry,
+    feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    in_range: jnp.ndarray,
+    cfg: RenderConfig,
+    cumsum_fn: Callable = cumsum_lanes,
+) -> BlendCarry:
+    """Blend one depth-ordered block of G Gaussians into P pixels."""
+    w, new_trans, new_done, _ = _block_weights(
+        carry, feat, px, py, in_range, cfg, cumsum_fn
+    )
+    colors = feat[FEAT_R : FEAT_R + 3]  # (3, G)
+    # (3, G) x (P, G) contracted over G -> (3, P): MXU.
+    new_color = carry.color + jnp.einsum(
+        "cg,pg->cp", colors, w, preferred_element_type=jnp.float32
+    )
+    return BlendCarry(color=new_color, trans=new_trans, done=new_done)
+
+
+def blend_block_bwd(
+    carry: BlendCarry,
+    feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    in_range: jnp.ndarray,
+    g_color: jnp.ndarray,       # (3, P) upstream gradient d L / d final_color
+    b_total: jnp.ndarray,       # (P, 1) = sum_c g_color * final_color per pixel
+    accum_b: jnp.ndarray,       # (P, 1) running prefix of b (carried forward)
+    cfg: RenderConfig,
+    cumsum_fn: Callable = cumsum_lanes,
+):
+    """One backward block (same forward walk order). Returns
+    (dfeat (NUM_FEATURES, G), new_carry, new_accum_b).
+
+    d L / d trans_in is not produced: the initial transmittance is the
+    constant 1.0 (no background gradient path through this op; background
+    compositing happens outside with the returned final T)."""
+    w, new_trans, new_done, aux = _block_weights(
+        carry, feat, px, py, in_range, cfg, cumsum_fn
+    )
+    colors = feat[FEAT_R : FEAT_R + 3]  # (3, G)
+
+    # dL/dw[p,g] = sum_c colors[c,g] * g_color[c,p]
+    dw = jnp.einsum("cg,cp->pg", colors, g_color, preferred_element_type=jnp.float32)
+    b = dw * w                                    # (P, G)
+    cum_b = accum_b + cumsum_fn(b)                # inclusive prefix incl. past blocks
+    suffix = b_total - cum_b                      # sum over strictly-later Gaussians
+    new_accum_b = cum_b[:, -1:]
+
+    a = aux["a"]
+    da = jnp.where(
+        a > 0.0,
+        dw * aux["t_before"] - suffix / (1.0 - a),
+        0.0,
+    )
+    # Chain through alpha = min(clamp, opacity * exp(power)); clamped lanes
+    # and skipped lanes get zero gradient (aux['ok'] already excludes skips,
+    # and w==0 lanes have da only through the suffix term, which is correct:
+    # an applied Gaussian affects later ones even if its own w was zeroed --
+    # but by construction a>0 implies it was applied or invalid; invalid
+    # (post-termination) lanes have w=0 AND must get zero grad, enforced here:
+    da = jnp.where(aux["valid"], da, 0.0)
+    not_clamped = (aux["alpha_u"] < cfg.alpha_clamp).astype(a.dtype)
+    dop_pg = da * aux["e"] * not_clamped          # (P, G)
+    dpower = da * aux["alpha_u"] * not_clamped    # (P, G)
+
+    dx, dy = aux["dx"], aux["dy"]
+    d_ca = jnp.sum(-0.5 * dx * dx * dpower, axis=0)
+    d_cb = jnp.sum(-dx * dy * dpower, axis=0)
+    d_cc = jnp.sum(-0.5 * dy * dy * dpower, axis=0)
+    # d power / d dx = -(A dx + B dy); dx = px - gx so d dx / d gx = -1.
+    ddx = -(aux["ca"] * dx + aux["cb"] * dy) * dpower
+    ddy = -(aux["cc"] * dy + aux["cb"] * dx) * dpower
+    d_gx = jnp.sum(-ddx, axis=0)
+    d_gy = jnp.sum(-ddy, axis=0)
+    d_op = jnp.sum(dop_pg, axis=0)
+    # dL/dcolor[c,g] = sum_p g_color[c,p] * w[p,g]
+    d_colors = jnp.einsum(
+        "cp,pg->cg", g_color, w, preferred_element_type=jnp.float32
+    )
+
+    dfeat = jnp.concatenate(
+        [
+            d_gx[None],
+            d_gy[None],
+            d_ca[None],
+            d_cb[None],
+            d_cc[None],
+            d_colors,
+            d_op[None],
+            jnp.zeros_like(d_op)[None],  # depth: ordering only, no gradient
+        ],
+        axis=0,
+    )
+    assert dfeat.shape[0] == NUM_FEATURES
+    return dfeat, BlendCarry(carry.color, new_trans, new_done), new_accum_b
+
+
+def tile_pixel_coords(tile_idx, cfg: RenderConfig, dtype=jnp.float32):
+    """Pixel centers of tile `tile_idx` (row-major tiles, row-major pixels
+    within a tile): (P, 1) px and py. Matches the reference's integer pixel
+    coordinates (compute_tiles.wgsl:40 uses the raw invocation id)."""
+    import jax
+
+    ts = cfg.tile_size
+    tx = tile_idx % cfg.tiles_x
+    ty = tile_idx // cfg.tiles_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (cfg.pixels_per_tile, 1), 0)
+    px = (tx * ts + p % ts).astype(dtype)
+    py = (ty * ts + p // ts).astype(dtype)
+    return px, py

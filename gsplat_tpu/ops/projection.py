@@ -1,0 +1,169 @@
+"""Per-Gaussian projection: frustum cull, EWA 2D covariance, conic, screen
+rect, SH color, opacity.
+
+Semantics match the reference preprocess shader
+(reference: src/process_gaussians.wgsl):
+  - frustum cull: view z <= znear or |ndc| >= 1.1           (:108-125)
+  - 3D covariance Sigma = R S^2 R^T from exp(log_scale)*modifier and the
+    normalized (w,x,y,z) quaternion                          (:127-162)
+  - EWA 2D covariance: clamp tx/tz, ty/tz to 1.3*tan_fov, Jacobian J,
+    cov2d = (J W) Sigma (J W)^T, +0.3 low-pass on the diagonal (:165-218)
+  - conic = inverse of cov2d                                 (:58-69)
+  - radius = ceil(3 * sqrt(max eigenvalue)), sqrt arg clamped >= 0.1 (:74-77)
+  - tile rect via floor((pix +- radius)/tile)                (:297-319); unlike
+    the reference we clamp rect_max to the tile grid (its `+1` can index one
+    past the grid -- the "last tile full of intersections" TODO at :296)
+  - SH color (+0.5, clamp >= 0)                              (:220-280)
+  - opacity = sigmoid(logit)                                 (:282-294)
+
+Everything is a single vectorized jnp function over (N, ...) arrays: one fused
+XLA kernel on the VPU, differentiable by construction (where-guards keep
+culled lanes NaN-free so gradients are exactly zero through the mask).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.ops.camera import Camera
+from gsplat_tpu.ops.sh import eval_sh
+
+
+@struct.dataclass
+class ProjectedGaussians:
+    mask: jnp.ndarray      # (N,) bool, survives frustum cull & valid cov
+    uv: jnp.ndarray        # (N, 2) in [0, 1]^2 (ndc*0.5 + 0.5)
+    conic: jnp.ndarray     # (N, 3) (A, B, C) of the inverse 2D covariance
+    depth: jnp.ndarray     # (N,) view-space z (sort key)
+    color: jnp.ndarray     # (N, 3) RGB from SH
+    opacity: jnp.ndarray   # (N,)
+    radius: jnp.ndarray    # (N,) screen-space radius in pixels
+    rect: jnp.ndarray      # (N, 4) int32 (tx0, ty0, tx1, ty1), tile coords,
+    #                      #   half-open [tx0, tx1) x [ty0, ty1)
+    counts: jnp.ndarray    # (N,) int32 tiles touched (clipped to K_max)
+    overflow: jnp.ndarray  # () bool: some Gaussian's rect exceeded K_max
+
+
+def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) (w,x,y,z) unnormalized -> (N, 3, 3). Matches the reference's
+    matrix up to its column-major storage (the product R S^2 R^T is
+    identical); reference: src/process_gaussians.wgsl:137-149."""
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def compute_cov3d(log_scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float) -> jnp.ndarray:
+    """Sigma = R diag(s^2) R^T, s = exp(log_scale) * modifier. Equivalent to
+    the reference's Sigma = M^T M with M = S R^T
+    (reference: src/process_gaussians.wgsl:127-162). Returns (N, 3, 3)."""
+    s = jnp.exp(log_scales) * scale_modifier
+    rot = quat_to_rotmat(quats)
+    m = rot * s[..., None, :]          # R @ diag(s)
+    return m @ jnp.swapaxes(m, -1, -2)  # R S^2 R^T
+
+
+def project_gaussians(scene, camera: Camera, cfg: RenderConfig) -> ProjectedGaussians:
+    n = scene.means.shape[0]
+    pos = scene.means  # (N, 3)
+
+    # View / clip transforms.
+    p_view = pos @ camera.view[:3, :3].T + camera.view[:3, 3]           # (N, 3)
+    p_hom = pos @ camera.full_proj[:3, :3].T + camera.full_proj[:3, 3]  # (N, 3)
+    w_hom = pos @ camera.full_proj[3, :3] + camera.full_proj[3, 3]      # (N,)
+    inv_w = 1.0 / (w_hom + 1e-7)  # reference: process_gaussians.wgsl:52
+    ndc = p_hom[:, :2] * inv_w[:, None]
+
+    tz = p_view[:, 2]
+    lim = cfg.frustum_ndc_limit
+    in_frustum = (
+        (tz > camera.znear)
+        & (jnp.abs(ndc[:, 0]) < lim)
+        & (jnp.abs(ndc[:, 1]) < lim)
+    )
+    uv = ndc * 0.5 + 0.5
+
+    # EWA 2D covariance.
+    cov3d = compute_cov3d(scene.log_scales, scene.quats, cfg.scale_modifier)
+    tz_safe = jnp.where(in_frustum, tz, 1.0)
+    lim_xy = 1.3 * camera.tan_fov  # (2,); reference: process_gaussians.wgsl:180-186
+    txy = jnp.clip(p_view[:, :2] / tz_safe[:, None], -lim_xy, lim_xy) * tz_safe[:, None]
+    fx, fy = camera.focal[0], camera.focal[1]
+    inv_tz = 1.0 / tz_safe
+    inv_tz2 = inv_tz * inv_tz
+    zeros = jnp.zeros_like(tz)
+    jac = jnp.stack(
+        [
+            jnp.stack([fx * inv_tz, zeros, -fx * txy[:, 0] * inv_tz2], -1),
+            jnp.stack([zeros, fy * inv_tz, -fy * txy[:, 1] * inv_tz2], -1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+    t2 = jnp.einsum("nij,jk->nik", jac, camera.view[:3, :3])  # (N, 2, 3)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", t2, cov3d, t2)     # (N, 2, 2)
+    c00 = cov2d[:, 0, 0] + cfg.lowpass
+    c01 = cov2d[:, 0, 1]
+    c11 = cov2d[:, 1, 1] + cfg.lowpass
+
+    det = c00 * c11 - c01 * c01
+    valid = in_frustum & (det > 0.0)
+    det_safe = jnp.where(valid, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], -1)
+
+    mid = 0.5 * (c00 + c11)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(cfg.eigen_clamp, mid * mid - det_safe))
+    radius = jnp.ceil(cfg.radius_sigma * jnp.sqrt(lambda1))
+
+    # Tile rect (clamped to the grid; see module docstring).
+    pix = uv * jnp.array([cfg.width, cfg.height], jnp.float32)
+    ts = float(cfg.tile_size)
+    ntx, nty = cfg.tiles_x, cfg.tiles_y
+    lo = jnp.floor((pix - radius[:, None]) / ts)
+    hi = jnp.floor((pix + radius[:, None]) / ts) + 1.0
+    tx0 = jnp.clip(lo[:, 0], 0, ntx).astype(jnp.int32)
+    ty0 = jnp.clip(lo[:, 1], 0, nty).astype(jnp.int32)
+    tx1 = jnp.clip(hi[:, 0], 0, ntx).astype(jnp.int32)
+    ty1 = jnp.clip(hi[:, 1], 0, nty).astype(jnp.int32)
+    rect = jnp.stack([tx0, ty0, tx1, ty1], -1)
+    area = jnp.maximum(tx1 - tx0, 0) * jnp.maximum(ty1 - ty0, 0)
+    area = jnp.where(valid, area, 0)
+    valid = valid & (area > 0)
+    counts = jnp.minimum(area, cfg.max_tiles_per_gaussian)
+    overflow = jnp.any(area > cfg.max_tiles_per_gaussian)
+
+    # Color & opacity.
+    dirs = pos - camera.cam_pos
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    degree = min(cfg.sh_degree, int(round(scene.sh.shape[1] ** 0.5)) - 1)
+    color = eval_sh(scene.sh, dirs, degree)
+    opacity = jax_sigmoid(scene.opacity_logits)
+
+    return ProjectedGaussians(
+        mask=valid,
+        uv=uv,
+        conic=conic,
+        depth=tz,
+        color=color,
+        opacity=opacity,
+        radius=radius,
+        rect=rect,
+        counts=counts,
+        overflow=overflow,
+    )
+
+
+def jax_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    """Numerically stable sigmoid (reference: src/process_gaussians.wgsl:282-294)."""
+    import jax
+
+    return jax.nn.sigmoid(x)

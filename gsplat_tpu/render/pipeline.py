@@ -1,0 +1,88 @@
+"""End-to-end differentiable render pipeline.
+
+The reference's seven host-synchronized GPU passes + blit
+(reference: src/renderer.ts:349-593 -- uniforms, process_gaussians, scan,
+write_tile_ids, radix sort, compute_ranges, compute_tiles, render.wgsl) are
+here ONE pure jitted function with zero mid-frame host syncs:
+
+    render(scene, camera, cfg) = project -> bin/sort -> gather -> blend
+
+Gradient flow: ordering (sorted ids, ranges) is a stop-gradient permutation
+(standard 3DGS practice); all values flow through the differentiable gather,
+so d image / d {means, log_scales, quats, opacity_logits, sh} is exact for
+the fixed ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.models.gaussians import GaussianScene
+from gsplat_tpu.ops.binning import bin_gaussians, gather_features
+from gsplat_tpu.ops.camera import Camera
+from gsplat_tpu.ops.projection import project_gaussians
+from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+
+@struct.dataclass
+class RenderOutput:
+    image: jnp.ndarray               # (H, W, 3) float32, black background
+    transmittance: jnp.ndarray       # (H, W) final T (for bg compositing)
+    num_intersections: jnp.ndarray   # () int32
+    overflow: jnp.ndarray            # () bool -- static capacity exceeded
+
+
+def render(
+    scene: GaussianScene,
+    camera: Camera,
+    cfg: RenderConfig,
+    background: jnp.ndarray | None = None,
+) -> RenderOutput:
+    proj = project_gaussians(scene, camera, cfg)
+    binned = bin_gaussians(proj, cfg)
+    features = gather_features(proj, binned, cfg)
+
+    if cfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas.raster import rasterize_pallas
+
+        image, trans = rasterize_pallas(features, binned.ranges, cfg)
+    else:
+        image, trans = rasterize_tiles_jnp(features, binned.ranges, cfg)
+
+    if background is not None:
+        image = image + trans[..., None] * background
+
+    return RenderOutput(
+        image=image,
+        transmittance=trans,
+        num_intersections=binned.num_intersections,
+        overflow=binned.overflow,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_jit(scene, camera, cfg: RenderConfig) -> RenderOutput:
+    return render(scene, camera, cfg)
+
+
+def render_loss(
+    scene: GaussianScene,
+    camera: Camera,
+    target: jnp.ndarray,
+    cfg: RenderConfig,
+    background: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """L1 loss against a target image (training losses incl. SSIM live in
+    gsplat_tpu.train.losses; this is the minimal hook used by gradcheck)."""
+    out = render(scene, camera, cfg, background)
+    return jnp.mean(jnp.abs(out.image - target))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_loss_and_grad(scene, camera, target, cfg: RenderConfig):
+    return jax.value_and_grad(render_loss)(scene, camera, target, cfg)

@@ -1,0 +1,100 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import RenderConfig
+from gsplat_tpu.ops.binning import bin_gaussians, gather_features
+from gsplat_tpu.ops.projection import project_gaussians
+
+
+def _bin(cfg, scene, cam, mode):
+    cfg = dataclasses.replace(cfg, binning=mode)
+    proj = project_gaussians(scene, cam, cfg)
+    return proj, bin_gaussians(proj, cfg), cfg
+
+
+@pytest.mark.parametrize("mode", ["sort", "scatter"])
+def test_binning_against_numpy(mode, small_cfg, small_scene, small_camera):
+    proj, binned, cfg = _bin(small_cfg, small_scene, small_camera, mode)
+    rect = np.asarray(proj.rect)
+    counts = np.asarray(proj.counts)
+    depth = np.asarray(proj.depth)
+    n = counts.shape[0]
+
+    # Build the expected (tile, depth, gid) list in numpy.
+    entries = []
+    for i in range(n):
+        c = 0
+        for ty in range(rect[i, 1], rect[i, 3]):
+            for tx in range(rect[i, 0], rect[i, 2]):
+                if c >= counts[i]:
+                    break
+                entries.append((ty * cfg.tiles_x + tx, depth[i], i))
+                c += 1
+            if c >= counts[i]:
+                break
+        # row-major rect walk, truncated at counts[i] -- matches
+        # _candidate_tiles' k % w / k // w ordering.
+    entries.sort(key=lambda e: (e[0], e[1]))
+    total = counts.sum()
+    assert int(binned.num_intersections) == total
+    assert not bool(binned.overflow)
+
+    s_tile = np.asarray(binned.sorted_tile)[:total]
+    s_gid = np.asarray(binned.sorted_gid)[:total]
+    np.testing.assert_array_equal(s_tile, [e[0] for e in entries])
+    np.testing.assert_array_equal(s_gid, [e[2] for e in entries])
+    # Padding is sentinel.
+    assert np.all(np.asarray(binned.sorted_tile)[total:] == cfg.num_tiles)
+
+    # Ranges: per-tile spans partition the valid prefix.
+    ranges = np.asarray(binned.ranges)
+    assert ranges[0] == 0 and ranges[-1] == total
+    for t in range(cfg.num_tiles):
+        seg = s_tile[ranges[t] : ranges[t + 1]]
+        assert np.all(seg == t)
+        seg_d = depth[s_gid[ranges[t] : ranges[t + 1]]]
+        assert np.all(np.diff(seg_d) >= 0)  # depth-ordered within tile
+
+
+def test_sort_and_scatter_agree(small_cfg, small_scene, small_camera):
+    _, b1, _ = _bin(small_cfg, small_scene, small_camera, "sort")
+    _, b2, _ = _bin(small_cfg, small_scene, small_camera, "scatter")
+    np.testing.assert_array_equal(
+        np.asarray(b1.sorted_tile), np.asarray(b2.sorted_tile)
+    )
+    np.testing.assert_array_equal(np.asarray(b1.ranges), np.asarray(b2.ranges))
+    total = int(b1.num_intersections)
+    np.testing.assert_array_equal(
+        np.asarray(b1.sorted_gid)[:total], np.asarray(b2.sorted_gid)[:total]
+    )
+
+
+def test_capacity_overflow_flag(small_scene, small_camera):
+    cfg = RenderConfig(
+        width=64, height=64, tile_size=8, max_intersections=8,
+        max_tiles_per_gaussian=64, block_size=8, max_per_tile=8,
+    )
+    proj = project_gaussians(small_scene, small_camera, cfg)
+    binned = bin_gaussians(proj, cfg)
+    assert bool(binned.overflow)
+    assert binned.sorted_tile.shape == (8,)
+
+
+def test_gather_features_shape(small_cfg, small_scene, small_camera):
+    proj, binned, cfg = _bin(small_cfg, small_scene, small_camera, "sort")
+    feats = gather_features(proj, binned, cfg)
+    assert feats.shape == (10, cfg.max_intersections)
+    total = int(binned.num_intersections)
+    gid = np.asarray(binned.sorted_gid)[:total]
+    np.testing.assert_allclose(
+        np.asarray(feats)[9, :total], np.asarray(proj.depth)[gid], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats)[0, :total],
+        np.asarray(proj.uv)[gid, 0] * cfg.width,
+        rtol=1e-5,
+    )

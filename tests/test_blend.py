@@ -1,0 +1,158 @@
+"""Blend-block math: vectorized cumprod formulation vs a literal sequential
+transcription of the (graphdeco-semantics) per-Gaussian loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu import RenderConfig
+from gsplat_tpu.ops.blend import (
+    BlendCarry,
+    blend_block,
+    blend_block_bwd,
+    init_carry,
+    make_triangular,
+    triangular_cumsum,
+)
+
+CFG = RenderConfig(width=8, height=8, tile_size=8, block_size=8, max_per_tile=64)
+
+
+def _random_inputs(key, g, p, opacity_scale=1.0):
+    ks = jax.random.split(key, 6)
+    feat = jnp.zeros((10, g))
+    feat = feat.at[0].set(jax.random.uniform(ks[0], (g,), minval=0, maxval=8))
+    feat = feat.at[1].set(jax.random.uniform(ks[1], (g,), minval=0, maxval=8))
+    # Random PSD conics.
+    l = jax.random.normal(ks[2], (g, 2, 2)) * 0.4
+    cov = l @ l.transpose(0, 2, 1) + 0.05 * jnp.eye(2)
+    det = cov[:, 0, 0] * cov[:, 1, 1] - cov[:, 0, 1] ** 2
+    feat = feat.at[2].set(cov[:, 1, 1] / det)
+    feat = feat.at[3].set(-cov[:, 0, 1] / det)
+    feat = feat.at[4].set(cov[:, 0, 0] / det)
+    feat = feat.at[5:8].set(jax.random.uniform(ks[3], (3, g)))
+    feat = feat.at[8].set(
+        jax.random.uniform(ks[4], (g,), minval=0.3, maxval=1.0) * opacity_scale
+    )
+    px = jnp.arange(p, dtype=jnp.float32)[:, None] % 8
+    py = jnp.arange(p, dtype=jnp.float32)[:, None] // 8
+    return feat, px, py
+
+
+def _sequential_oracle(feat, px, py, in_range, cfg):
+    """Literal per-Gaussian loop (permanent-termination semantics)."""
+    g = feat.shape[1]
+    p = px.shape[0]
+    feat = np.asarray(feat)
+    px = np.asarray(px)[:, 0]
+    py = np.asarray(py)[:, 0]
+    in_range = np.asarray(in_range)[0]
+    color = np.zeros((3, p))
+    T = np.ones(p)
+    done = np.zeros(p, bool)
+    for i in range(g):
+        if not in_range[i]:
+            continue
+        dx = px - feat[0, i]
+        dy = py - feat[1, i]
+        power = -0.5 * (feat[2, i] * dx * dx + feat[4, i] * dy * dy) - feat[3, i] * dx * dy
+        alpha = np.minimum(cfg.alpha_clamp, feat[8, i] * np.exp(power))
+        ok = (power <= 0) & (alpha >= cfg.alpha_min) & ~done
+        test_t = T * (1 - alpha)
+        terminate = ok & (test_t < cfg.transmittance_min)
+        apply = ok & ~terminate
+        color += np.where(apply, alpha * T, 0.0) * feat[5:8, i : i + 1]
+        T = np.where(apply, test_t, T)
+        done |= terminate
+    return color, T, done
+
+
+def test_blend_block_matches_sequential_oracle():
+    feat, px, py = _random_inputs(jax.random.key(0), 32, 64)
+    in_range = jnp.ones((1, 32), bool)
+    carry = blend_block(init_carry(64), feat, px, py, in_range, CFG)
+    oc, ot, _ = _sequential_oracle(feat, px, py, in_range, CFG)
+    np.testing.assert_allclose(np.asarray(carry.color), oc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(carry.trans)[:, 0], ot, rtol=1e-4, atol=1e-6)
+
+
+def test_blend_block_termination_path():
+    # High opacity stack forces transmittance below 1e-4 -> permanent done.
+    feat, px, py = _random_inputs(jax.random.key(1), 64, 64, opacity_scale=0.99)
+    feat = feat.at[8].set(0.95)
+    # Wide, strong Gaussians covering the whole tile so T collapses fast.
+    feat = feat.at[2].set(0.02).at[3].set(0.0).at[4].set(0.02)
+    in_range = jnp.ones((1, 64), bool)
+    carry = blend_block(init_carry(64), feat, px, py, in_range, CFG)
+    oc, ot, odone = _sequential_oracle(feat, px, py, in_range, CFG)
+    assert odone.any(), "test should exercise termination"
+    np.testing.assert_allclose(np.asarray(carry.color), oc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(carry.trans)[:, 0], ot, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(carry.done)[:, 0] > 0.5, odone)
+
+
+def test_blend_blocks_compose():
+    """Two blocks of 16 == one block of 32."""
+    feat, px, py = _random_inputs(jax.random.key(2), 32, 64)
+    in_range = jnp.ones((1, 32), bool)
+    one = blend_block(init_carry(64), feat, px, py, in_range, CFG)
+    c = init_carry(64)
+    c = blend_block(c, feat[:, :16], px, py, in_range[:, :16], CFG)
+    c = blend_block(c, feat[:, 16:], px, py, in_range[:, 16:], CFG)
+    np.testing.assert_allclose(np.asarray(one.color), np.asarray(c.color), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(one.trans), np.asarray(c.trans), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(one.done), np.asarray(c.done))
+
+
+def test_triangular_cumsum_equals_cumsum():
+    x = jax.random.normal(jax.random.key(3), (16, 32))
+    tri = make_triangular(32)
+    np.testing.assert_allclose(
+        np.asarray(triangular_cumsum(x, tri)),
+        np.asarray(jnp.cumsum(x, axis=-1)),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_blend_block_in_range_mask():
+    feat, px, py = _random_inputs(jax.random.key(4), 32, 64)
+    in_range = (jnp.arange(32) < 20)[None, :]
+    masked = blend_block(init_carry(64), feat, px, py, in_range, CFG)
+    trunc = blend_block(
+        init_carry(64), feat[:, :20], px, py, jnp.ones((1, 20), bool), CFG
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked.color), np.asarray(trunc.color), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_blend_bwd_matches_autodiff():
+    """Hand-derived backward vs jax.grad of the forward block chain."""
+    key = jax.random.key(5)
+    feat, px, py = _random_inputs(key, 48, 64)
+    in_range = jnp.ones((1, 48), bool)
+    g_color = jax.random.normal(jax.random.key(6), (3, 64))
+
+    def fwd(feat):
+        c = init_carry(64)
+        c = blend_block(c, feat[:, :24], px, py, in_range[:, :24], CFG)
+        c = blend_block(c, feat[:, 24:], px, py, in_range[:, 24:], CFG)
+        return jnp.sum(c.color * g_color), c.color
+
+    (loss, final_color), auto_grad = jax.value_and_grad(fwd, has_aux=True)(feat)
+
+    # Analytic backward: forward re-walk with suffix-sum trick.
+    b_total = jnp.sum(g_color * final_color, axis=0)[:, None]
+    carry = init_carry(64)
+    accum = jnp.zeros((64, 1))
+    d1, carry, accum = blend_block_bwd(
+        carry, feat[:, :24], px, py, in_range[:, :24], g_color, b_total, accum, CFG
+    )
+    d2, carry, accum = blend_block_bwd(
+        carry, feat[:, 24:], px, py, in_range[:, 24:], g_color, b_total, accum, CFG
+    )
+    analytic = jnp.concatenate([d1, d2], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(analytic), np.asarray(auto_grad), rtol=2e-3, atol=2e-4
+    )

@@ -1,0 +1,204 @@
+"""Command-line entry point.
+
+The TPU-native replacement for the reference's browser app shell
+(reference: src/app.ts, index.html): file pickers become flags, the canvas
+becomes PNG output, the tile-size <select> becomes --tile-size, and the
+interactive camera becomes --camera presets / --orbit.
+
+Subcommands:
+  render   PLY (+ optional cameras.json) -> PNG(s)
+  info     print scene statistics
+  bench    timing on the current default device (TPU if available)
+  train    fit a scene to target images (see gsplat_tpu/train)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_cfg(args, width: int, height: int):
+    from gsplat_tpu.config import RenderConfig
+
+    return RenderConfig(
+        width=width,
+        height=height,
+        tile_size=args.tile_size,
+        max_intersections=args.max_intersections,
+        max_tiles_per_gaussian=args.max_tiles_per_gaussian,
+        block_size=args.block_size,
+        max_per_tile=args.max_per_tile,
+        sh_degree=args.sh_degree,
+        impl=args.impl,
+        binning=args.binning,
+    )
+
+
+def _common_flags(p: argparse.ArgumentParser):
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--tile-size", type=int, default=16, choices=[8, 16, 32],
+                   help="tile size (reference: index.html:20-24)")
+    p.add_argument("--max-intersections", type=int, default=1 << 22)
+    p.add_argument("--max-tiles-per-gaussian", type=int, default=64)
+    p.add_argument("--block-size", type=int, default=32)
+    p.add_argument("--max-per-tile", type=int, default=4096)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--impl", default="jnp", choices=["jnp", "pallas"])
+    p.add_argument("--binning", default="sort", choices=["sort", "scatter"])
+
+
+def _load_scene(args):
+    from gsplat_tpu.io.ply import load_ply
+    from gsplat_tpu.models.gaussians import random_scene
+
+    if args.ply == "synthetic":
+        import jax
+
+        return random_scene(jax.random.key(args.seed), args.synthetic_n,
+                            sh_degree=min(args.sh_degree, 3))
+    return load_ply(args.ply)
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from gsplat_tpu.ops.camera import Camera, orbit_cameras
+    from gsplat_tpu.render.pipeline import render_jit
+    from gsplat_tpu.utils.image import write_png
+
+    scene = _load_scene(args)
+    print(f"scene: {scene.num_gaussians} gaussians, SH degree {scene.sh_degree}")
+
+    cfg = _build_cfg(args, args.width, args.height)
+    if args.cameras:
+        from gsplat_tpu.io.cameras import load_cameras
+
+        cams = load_cameras(args.cameras, width_override=args.width,
+                            height_override=args.height)
+        if args.camera_index is not None:
+            cams = [cams[args.camera_index]]
+    elif args.orbit:
+        center = np.asarray(scene.means).mean(0)
+        radius = float(np.percentile(
+            np.linalg.norm(np.asarray(scene.means) - center, axis=-1), 90) * 2.0)
+        cams = [
+            (f"orbit_{i:03d}", c)
+            for i, c in enumerate(orbit_cameras(
+                center, radius, args.orbit, args.width, args.height,
+                fx=float(args.width), fy=float(args.height)))
+        ]
+    else:
+        cams = [("default", Camera.default(args.width, args.height))]
+
+    for name, cam in cams:
+        t0 = time.time()
+        out = render_jit(scene, cam, cfg)
+        out.image.block_until_ready()
+        dt = time.time() - t0
+        path = args.output.replace("{}", name)
+        write_png(path, np.asarray(out.image))
+        print(
+            f"{name}: {dt * 1000:.1f} ms, {int(out.num_intersections)} intersections"
+            f"{' [OVERFLOW]' if bool(out.overflow) else ''} -> {path}"
+        )
+    return 0
+
+
+def cmd_info(args) -> int:
+    import numpy as np
+
+    scene = _load_scene(args)
+    means = np.asarray(scene.means)
+    print(json.dumps({
+        "num_gaussians": int(scene.num_gaussians),
+        "sh_degree": int(scene.sh_degree),
+        "bbox_min": means.min(0).tolist(),
+        "bbox_max": means.max(0).tolist(),
+        "mean_scale": float(np.exp(np.asarray(scene.log_scales)).mean()),
+    }, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from gsplat_tpu.utils.bench import run_bench
+
+    result = run_bench(
+        num_gaussians=args.synthetic_n,
+        width=args.width,
+        height=args.height,
+        impl=args.impl,
+        mode=args.mode,
+        iters=args.iters,
+        tile_size=args.tile_size,
+        max_intersections=args.max_intersections,
+        block_size=args.block_size,
+        ply=None if args.ply == "synthetic" else args.ply,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_train(args) -> int:
+    from gsplat_tpu.train.loop import train_from_cli
+
+    return train_from_cli(args)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser("gsplat-tpu",
+                                     description="TPU-native 3D Gaussian Splatting")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render PLY to PNG")
+    p.add_argument("ply", help="path to .ply, or 'synthetic'")
+    p.add_argument("--cameras", help="cameras.json path")
+    p.add_argument("--camera-index", type=int)
+    p.add_argument("--orbit", type=int, help="render N orbit views")
+    p.add_argument("--output", "-o", default="render_{}.png",
+                   help="output path; '{}' is replaced by the camera name")
+    p.add_argument("--synthetic-n", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=0)
+    _common_flags(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("info", help="scene statistics")
+    p.add_argument("ply")
+    p.add_argument("--synthetic-n", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="benchmark fwd / fwd+bwd throughput")
+    p.add_argument("--ply", default="synthetic")
+    p.add_argument("--synthetic-n", type=int, default=1_000_000)
+    p.add_argument("--mode", default="fwd_bwd", choices=["fwd", "fwd_bwd"])
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    _common_flags(p)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("train", help="fit a scene to target renders")
+    p.add_argument("--ply", default="synthetic")
+    p.add_argument("--synthetic-n", type=int, default=5000)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="trained.ply")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", help="checkpoint path to resume from")
+    _common_flags(p)
+    p.set_defaults(fn=cmd_train)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

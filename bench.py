@@ -1,0 +1,65 @@
+"""Driver benchmark: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric (BASELINE.json): fwd+bwd it/s at 1080p with 1M Gaussians on
+the available chip(s). vs_baseline is normalized against the 30 it/s
+north-star target (the reference publishes no numbers; BASELINE.md).
+Extra context goes to stderr so stdout stays one JSON line.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    import jax
+
+    from gsplat_tpu.utils.bench import run_bench
+
+    on_tpu = jax.default_backend() == "tpu"
+    # Full headline config on TPU; a scaled-down config keeps CPU smoke runs
+    # tractable.
+    if on_tpu:
+        kwargs = dict(
+            num_gaussians=1_000_000,
+            width=1920,
+            height=1080,
+            impl="pallas",
+            mode="fwd_bwd",
+            iters=10,
+            tile_size=16,
+            max_intersections=1 << 23,
+            block_size=32,
+            max_per_tile=8192,
+        )
+    else:
+        kwargs = dict(
+            num_gaussians=20_000,
+            width=256,
+            height=256,
+            impl="jnp",
+            mode="fwd_bwd",
+            iters=3,
+            tile_size=16,
+            max_intersections=1 << 16,
+            block_size=16,
+            max_per_tile=512,
+        )
+
+    result = run_bench(**kwargs)
+    print(
+        json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": result["unit"],
+                "vs_baseline": result["vs_baseline"],
+            }
+        )
+    )
+    print(json.dumps(result["details"]), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,13 @@ class RenderConfig:
     impl: str = "jnp"
     # Gaussians per Pallas blend block (lane dimension; multiple of 128).
     pallas_block_size: int = 256
+    # Run Pallas kernels in interpreter mode (CPU debugging / CI).
+    pallas_interpret: bool = False
+    # Per-tile segment alignment of the sorted stream. 0 = auto
+    # (pallas_block_size when impl == 'pallas', else unaligned). Alignment
+    # makes every blend DMA offset tiling-aligned and the backward kernel's
+    # slot-gradient writes tile-exclusive.
+    stream_align: int = 0
 
     # ---- derived (static) ----
     @property

@@ -47,16 +47,50 @@ FEAT_B = 7
 FEAT_OPACITY = 8
 FEAT_DEPTH = 9
 NUM_FEATURES = 10
+# Feature rows padded to a multiple of the TPU f32 sublane tile (8) so Pallas
+# DMA slices are tiling-aligned.
+PADDED_FEATURES = 16
 
 
 @struct.dataclass
 class BinnedGaussians:
     sorted_tile: jnp.ndarray   # (max_I,) int32, sentinel = num_tiles
     sorted_gid: jnp.ndarray    # (max_I,) int32 gaussian index per slot
+    #                          #   (-1 = alignment-padding slot)
     ranges: jnp.ndarray        # (num_tiles + 1,) int32; tile t spans
     #                          #   [ranges[t], ranges[t+1])
     num_intersections: jnp.ndarray  # () int32 true total (may exceed capacity)
     overflow: jnp.ndarray      # () bool: capacity or K_max exceeded
+
+
+def _align_stream(s_tile, s_gid, ranges, max_i: int, n_local: int, align: int):
+    """Re-space the sorted stream so every tile's segment length is a multiple
+    of `align` (the Pallas blend block size). Padding slots get gid -1, which
+    gathers to all-zero features (zero opacity -> no contribution, no
+    gradient). Alignment guarantees:
+      - every per-tile DMA offset is `align`-aligned (Mosaic tiling rule),
+      - the backward kernel's per-tile gradient writes never overlap another
+        tile's slots, keeping them race-free with zero atomics.
+    """
+    counts = ranges[1:] - ranges[:-1]                         # (T,)
+    padded = ((counts + align - 1) // align) * align
+    pstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )                                                          # (T+1,)
+    total_padded = pstart[-1]
+    new_ranges = jnp.minimum(pstart, max_i).astype(jnp.int32)
+
+    s = jnp.arange(max_i, dtype=jnp.int32)
+    t_of_s = (
+        jnp.searchsorted(pstart, s, side="right").astype(jnp.int32) - 1
+    )                                                          # in [0, T]
+    t_clip = jnp.clip(t_of_s, 0, n_local - 1)
+    o = s - pstart[t_clip]
+    valid = (t_of_s < n_local) & (o < counts[t_clip]) & (s < total_padded)
+    orig = jnp.clip(ranges[t_clip] + o, 0, max_i - 1)
+    new_gid = jnp.where(valid, s_gid[orig], -1)
+    new_tile = jnp.where(valid, t_clip, n_local)
+    return new_tile, new_gid, new_ranges, total_padded
 
 
 def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
@@ -77,11 +111,32 @@ def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
     return tile, depth, gid, valid
 
 
-def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> BinnedGaussians:
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    cfg: RenderConfig,
+    tile_start=None,
+    num_local_tiles: int | None = None,
+) -> BinnedGaussians:
+    """Bin into the (tile, depth)-sorted stream.
+
+    tile_start / num_local_tiles restrict binning to the half-open global
+    tile range [tile_start, tile_start + num_local_tiles) with tile ids
+    re-based to local -- the per-shard path for tile-sharded multi-chip
+    rendering (each chip bins, sorts and blends only its tile rows;
+    cfg.max_intersections is then the PER-SHARD capacity). tile_start may be
+    a traced scalar (it is `axis_index * local_tiles` under shard_map);
+    num_local_tiles must be static.
+    """
     max_i = cfg.max_intersections
-    sentinel = jnp.int32(cfg.num_tiles)
+    n_local = cfg.num_tiles if num_local_tiles is None else num_local_tiles
+    sentinel = jnp.int32(n_local)
     tile, depth, gid, valid = _candidate_tiles(proj, cfg)
-    total = jnp.sum(proj.counts).astype(jnp.int32)
+    if tile_start is not None:
+        t0 = jnp.asarray(tile_start, jnp.int32)
+        valid = valid & (tile >= t0) & (tile < t0 + n_local)
+        tile = tile - t0
+    counts = jnp.sum(valid, axis=1).astype(jnp.int32)
+    total = jnp.sum(counts)
     overflow = proj.overflow | (total > max_i)
 
     tile_f = jnp.where(valid, tile, sentinel).reshape(-1)
@@ -103,9 +158,10 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> BinnedGaussian
             s_tile = jnp.concatenate([s_tile, jnp.full((pad,), sentinel, jnp.int32)])
             s_gid = jnp.concatenate([s_gid, jnp.zeros((pad,), jnp.int32)])
     else:  # 'scatter'
-        offsets = jnp.cumsum(proj.counts) - proj.counts        # exclusive
-        k = jnp.arange(cfg.max_tiles_per_gaussian, dtype=jnp.int32)[None, :]
-        slot = offsets[:, None].astype(jnp.int32) + k
+        offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)  # exclusive
+        # Rank of each VALID candidate within its Gaussian's local-valid set.
+        local_rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
+        slot = offsets[:, None] + local_rank
         slot = jnp.where(valid & (slot < max_i), slot, max_i)  # trash slot
         slot_f = slot.reshape(-1)
         tile_buf = jnp.full((max_i + 1,), sentinel, jnp.int32).at[slot_f].set(
@@ -125,8 +181,17 @@ def bin_gaussians(proj: ProjectedGaussians, cfg: RenderConfig) -> BinnedGaussian
     # compute_ranges kernel (and fixes its 0xFFFFFFFE/0xFFFFFFFF sentinel
     # mismatch, reference: src/compute_ranges.wgsl:13 vs radix_sort.wgsl:78).
     ranges = jnp.searchsorted(
-        s_tile, jnp.arange(cfg.num_tiles + 1, dtype=jnp.int32), side="left"
+        s_tile, jnp.arange(n_local + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+
+    align = cfg.stream_align or (
+        cfg.pallas_block_size if cfg.impl == "pallas" else 1
+    )
+    if align > 1:
+        s_tile, s_gid, ranges, total_padded = _align_stream(
+            s_tile, s_gid, ranges, max_i, n_local, align
+        )
+        overflow = overflow | (total_padded > max_i)
 
     return BinnedGaussians(
         sorted_tile=s_tile,
@@ -144,6 +209,7 @@ def gather_features(
 
     Returns (NUM_FEATURES, max_intersections) float32 -- feature-major so the
     blend kernels DMA contiguous (F, G) blocks with Gaussians along lanes.
+    Alignment-padding slots (gid -1) gather to all-zero columns via fill mode.
     The gather is differentiable: its transpose (scatter-add of per-slot
     gradients back to Gaussians) is exactly the gradient accumulation the
     CUDA 3DGS backward does with atomics, but expressed as one XLA scatter.
@@ -165,4 +231,7 @@ def gather_features(
         ],
         axis=0,
     ).astype(jnp.float32)  # (F, N)
-    return jnp.take(feats, binned.sorted_gid, axis=1)
+    # Padding slots use gid -1; jnp.take's fill mode only fills for indices
+    # >= n (negatives wrap), so remap -1 to n first.
+    gid = jnp.where(binned.sorted_gid < 0, feats.shape[1], binned.sorted_gid)
+    return jnp.take(feats, gid, axis=1, mode="fill", fill_value=0.0)

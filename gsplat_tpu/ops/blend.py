@@ -182,9 +182,13 @@ def blend_block_bwd(
     """One backward block (same forward walk order). Returns
     (dfeat (NUM_FEATURES, G), new_carry, new_accum_b).
 
+    b_total must be sum_c g_color * final_color + g_trans * final_trans per
+    pixel: the final-transmittance gradient path (background compositing,
+    alpha losses) has exactly the same -1/(1-a_i) suffix structure as the
+    color path, so it folds into the same suffix sum.
+
     d L / d trans_in is not produced: the initial transmittance is the
-    constant 1.0 (no background gradient path through this op; background
-    compositing happens outside with the returned final T)."""
+    constant 1.0."""
     w, new_trans, new_done, aux = _block_weights(
         carry, feat, px, py, in_range, cfg, cumsum_fn
     )

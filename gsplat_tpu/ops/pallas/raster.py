@@ -1,0 +1,380 @@
+"""Fused Pallas TPU rasterization kernels (forward + hand-derived backward).
+
+TPU-native replacement for the reference's per-tile blend shader
+(reference: src/compute_tiles.wgsl): one kernel program per tile, walking the
+tile's span of the depth-sorted intersection stream. Differences dictated by
+the hardware:
+
+  - The reference launches one thread per pixel and loops Gaussians serially
+    per thread. Here each tile program blends a whole (P pixels x G Gaussians)
+    block at a time on the VPU/MXU, using the cumulative-transmittance
+    formulation from ops/blend.py (the sequential T recurrence becomes an
+    upper-triangular matmul on the MXU).
+  - Gaussian data is pre-gathered into sorted-stream order OUTSIDE the kernel
+    (one XLA gather), so the kernel's loads are contiguous (NUM_FEATURES, G)
+    slices, double-buffered HBM->VMEM with async DMA.
+  - Early exit: the reference masks saturated pixels but walks the full range
+    (compute_tiles.wgsl:61-65); here the while-loop stops as soon as every
+    pixel in the tile has terminated.
+  - Dynamic per-tile trip counts come from scalar-prefetched `ranges` (the
+    searchsorted output), so zero wasted blocks on empty tiles.
+
+The backward kernel re-walks each tile's span in FORWARD order, recomputing
+the forward quantities and using the suffix-sum identity (see ops/blend.py)
+to avoid storing any per-Gaussian state; per-slot gradients are DMA'd to a
+(NUM_FEATURES, max_I) buffer which the caller scatter-adds back to Gaussians
+via the (differentiable) gather's transpose. Each sorted slot belongs to
+exactly one tile, so slot-gradient writes are race-free by construction --
+the TPU analogue of the CUDA backward's atomic adds is simply "no atomics
+needed".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.ops import blend as blend_ops
+from gsplat_tpu.ops.binning import NUM_FEATURES, PADDED_FEATURES
+from gsplat_tpu.ops.blend import (
+    BlendCarry,
+    blend_block,
+    blend_block_bwd,
+    make_triangular,
+    triangular_cumsum,
+)
+
+# Rows of the per-tile output/residual buffer.
+ROW_R, ROW_G, ROW_B, ROW_TRANS, ROW_DONE = 0, 1, 2, 3, 4
+OUT_ROWS = 8  # padded to 8 sublanes
+
+
+def _tile_origin(cfg: RenderConfig, tile_idx):
+    ts = cfg.tile_size
+    tx = tile_idx % cfg.tiles_x
+    ty = tile_idx // cfg.tiles_x
+    return tx * ts, ty * ts
+
+
+def _pixel_coords(cfg: RenderConfig, tile_idx):
+    ts = cfg.tile_size
+    p = cfg.pixels_per_tile
+    ox, oy = _tile_origin(cfg, tile_idx)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (ox + lin % ts).astype(jnp.float32)
+    py = (oy + lin // ts).astype(jnp.float32)
+    return px, py
+
+
+def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: RenderConfig):
+    g = cfg.pallas_block_size
+    p = cfg.pixels_per_tile
+    t = pl.program_id(0)
+    start = ranges_ref[t]
+    end = ranges_ref[t + 1]
+    nb = pl.cdiv(end - start, g)
+
+    px, py = _pixel_coords(cfg, t + offset_ref[0])
+    tri = make_triangular(g)
+    cumsum = functools.partial(triangular_cumsum, tri=tri)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
+    out_ref[0, :, :] = jnp.zeros((OUT_ROWS, p), jnp.float32)
+
+    def dma(slot, i):
+        # Stream segments are g-aligned by binning; tell Mosaic so.
+        off = pl.multiple_of(start + i * g, g)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(off, g)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nb > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(state):
+        i, trans, done = state
+        return (i < nb) & jnp.logical_not(jnp.all(done > 0.5))
+
+    def body(state):
+        i, trans, done = state
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        feat = buf[slot]  # (NUM_FEATURES, g)
+        in_range = (start + i * g + lane) < end
+        carry = BlendCarry(color=out_ref[0, 0:3, :], trans=trans, done=done)
+        carry = blend_block(carry, feat, px, py, in_range, cfg, cumsum_fn=cumsum)
+        out_ref[0, 0:3, :] = carry.color
+        return i + 1, carry.trans, carry.done
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+    )
+    final_i, trans, done = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the prefetched DMA for block `final_i` in flight;
+    # drain it so no semaphore survives the kernel.
+    @pl.when(final_i < nb)
+    def _():
+        dma(jax.lax.rem(final_i, 2), final_i).wait()
+
+    out_ref[0, ROW_TRANS, :] = trans[:, 0]
+    out_ref[0, ROW_DONE, :] = done[:, 0]
+
+
+def _bwd_kernel(
+    ranges_ref, offset_ref, g_tile_ref, feat_hbm, _dzero, dfeat_hbm,
+    buf, dbuf, sems, osems, *, cfg: RenderConfig,
+):
+    g = cfg.pallas_block_size
+    p = cfg.pixels_per_tile
+    t = pl.program_id(0)
+    start = ranges_ref[t]
+    end = ranges_ref[t + 1]
+    nb = pl.cdiv(end - start, g)
+
+    px, py = _pixel_coords(cfg, t + offset_ref[0])
+    tri = make_triangular(g)
+    cumsum = functools.partial(triangular_cumsum, tri=tri)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
+    g_color = g_tile_ref[0, 0:3, :]          # (3, P)
+    b_total = g_tile_ref[0, 3:4, :].reshape(p, 1)
+
+    def dma_in(slot, i):
+        off = pl.multiple_of(start + i * g, g)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(off, g)], buf.at[slot], sems.at[slot]
+        )
+
+    def dma_out(slot, i):
+        off = pl.multiple_of(start + i * g, g)
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dfeat_hbm.at[:, pl.ds(off, g)],
+            osems.at[slot],
+        )
+
+    @pl.when(nb > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def cond(state):
+        i, trans, done, accum_b = state
+        return (i < nb) & jnp.logical_not(jnp.all(done > 0.5))
+
+    def body(state):
+        i, trans, done, accum_b = state
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            dma_in(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma_in(slot, i).wait()
+        # Before overwriting this slot's output staging buffer, drain its
+        # previous outbound DMA (issued two iterations ago).
+        @pl.when(i >= 2)
+        def _():
+            dma_out(slot, i - 2).wait()
+
+        feat = buf[slot]
+        in_range = (start + i * g + lane) < end
+        carry = BlendCarry(color=jnp.zeros((3, p), jnp.float32), trans=trans, done=done)
+        dfeat, carry, accum_b = blend_block_bwd(
+            carry, feat, px, py, in_range, g_color, b_total, accum_b, cfg,
+            cumsum_fn=cumsum,
+        )
+        dbuf[slot] = jnp.concatenate(
+            [dfeat, jnp.zeros((PADDED_FEATURES - NUM_FEATURES, g), jnp.float32)],
+            axis=0,
+        )
+        dma_out(slot, i).start()
+        return i + 1, carry.trans, carry.done, accum_b
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+    )
+    final_i, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Drain the early-exit inbound prefetch and outstanding output DMAs.
+    @pl.when(final_i < nb)
+    def _():
+        dma_in(jax.lax.rem(final_i, 2), final_i).wait()
+
+    @pl.when(final_i >= 2)
+    def _():
+        dma_out(jax.lax.rem(final_i, 2), final_i - 2).wait()
+
+    @pl.when(final_i >= 1)
+    def _():
+        dma_out(jax.lax.rem(final_i - 1, 2), final_i - 1).wait()
+
+
+def _pad_features(features: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Pad rows to the sublane tile (PADDED_FEATURES) and lanes by one block
+    so the last block's DMA slice never reads out of bounds."""
+    return jnp.pad(
+        features, ((0, PADDED_FEATURES - features.shape[0]), (0, g))
+    )
+
+
+def _fwd_pallas_call(features, ranges, offset, num_tiles, cfg: RenderConfig):
+    g = cfg.pallas_block_size
+    p = cfg.pixels_per_tile
+    feats_padded = _pad_features(features, g)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, p), lambda t, ranges, off: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=cfg.pallas_interpret,
+    )(ranges, offset, feats_padded)
+
+
+def _bwd_pallas_call(features, ranges, offset, g_tile, num_tiles, cfg: RenderConfig):
+    g = cfg.pallas_block_size
+    p = cfg.pixels_per_tile
+    feats_padded = _pad_features(features, g)
+    max_ip = feats_padded.shape[1]
+    dzero = jnp.zeros((PADDED_FEATURES, max_ip), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, OUT_ROWS, p), lambda t, ranges, off: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
+            pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dfeat = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((PADDED_FEATURES, max_ip), jnp.float32),
+        input_output_aliases={4: 0},  # dzero (arg idx incl. prefetch) -> dfeat
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=cfg.pallas_interpret,
+    )(ranges, offset, g_tile, feats_padded, dzero)
+    return dfeat[:NUM_FEATURES, : features.shape[1]]
+
+
+def _tiles_to_image(tile_colors, cfg: RenderConfig):
+    from gsplat_tpu.ops.raster_jnp import _tiles_to_image as impl
+
+    return impl(tile_colors, cfg)
+
+
+def _tiles_to_scalar(tile_vals, cfg: RenderConfig):
+    from gsplat_tpu.ops.raster_jnp import _tiles_to_scalar_image as impl
+
+    return impl(tile_vals, cfg)
+
+
+def _image_to_tiles(img: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """(H, W, C) -> (T, C, P): inverse of _tiles_to_image (zero-pads the
+    ragged edge tiles)."""
+    ts = cfg.tile_size
+    c = img.shape[-1]
+    padded = jnp.zeros((cfg.padded_height, cfg.padded_width, c), img.dtype)
+    padded = padded.at[: cfg.height, : cfg.width].set(img)
+    x = padded.reshape(cfg.tiles_y, ts, cfg.tiles_x, ts, c)
+    x = x.transpose(0, 2, 4, 1, 3)  # (ty, tx, c, py, px)
+    return x.reshape(cfg.num_tiles, c, cfg.pixels_per_tile)
+
+
+def rasterize_pallas(features, ranges, cfg: RenderConfig, tile_offset=0):
+    """Returns (image (H, W, 3), final_transmittance (H, W)).
+
+    For the tile-sharded path, `cfg` describes the LOCAL tile rows and
+    `tile_offset` is the global tile index of local tile 0 (may be traced)."""
+    if (ranges.shape[0] - 1) != cfg.num_tiles:
+        raise ValueError("ranges length does not match cfg.num_tiles")
+    offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
+    return _rasterize_pallas(features, ranges, offset, cfg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _rasterize_pallas(features, ranges, offset, cfg: RenderConfig):
+    out = _fwd_pallas_call(features, ranges, offset, cfg.num_tiles, cfg)
+    image = _tiles_to_image(out[:, 0:3, :], cfg)
+    trans = _tiles_to_scalar(out[:, ROW_TRANS, :], cfg)
+    return image, trans
+
+
+def _rasterize_fwd(features, ranges, offset, cfg: RenderConfig):
+    out = _fwd_pallas_call(features, ranges, offset, cfg.num_tiles, cfg)
+    image = _tiles_to_image(out[:, 0:3, :], cfg)
+    trans = _tiles_to_scalar(out[:, ROW_TRANS, :], cfg)
+    return (image, trans), (features, ranges, offset, out)
+
+
+def _rasterize_bwd(cfg: RenderConfig, residuals, grads):
+    features, ranges, offset, out = residuals
+    g_image, g_trans = grads
+    g_color_tiles = _image_to_tiles(g_image, cfg)             # (T, 3, P)
+    g_trans_tiles = _image_to_tiles(g_trans[..., None], cfg)  # (T, 1, P)
+    # b_total = sum_c g_color*final_color + g_trans*final_trans (per pixel);
+    # see blend_block_bwd docstring.
+    b_total = (
+        jnp.sum(g_color_tiles * out[:, 0:3, :], axis=1, keepdims=True)
+        + g_trans_tiles * out[:, ROW_TRANS : ROW_TRANS + 1, :]
+    )
+    g_tile = jnp.concatenate(
+        [
+            g_color_tiles,
+            b_total,
+            jnp.zeros(
+                (cfg.num_tiles, OUT_ROWS - 4, cfg.pixels_per_tile), jnp.float32
+            ),
+        ],
+        axis=1,
+    )  # (T, OUT_ROWS, P)
+    dfeat = _bwd_pallas_call(features, ranges, offset, g_tile, cfg.num_tiles, cfg)
+    return dfeat, None, None
+
+
+_rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)

@@ -1,0 +1,142 @@
+"""Distributed training step: data-parallel over cameras x tile-parallel
+within each view, gradients psum'd inside shard_map so the all-reduce
+overlaps the remaining backward work (BASELINE.json config 4).
+
+Sharding layout on a ('data', 'tiles') mesh:
+  - scene + optimizer state: replicated
+  - camera batch: sharded over 'data'
+  - target images: sharded over 'data' (batch) AND 'tiles' (image rows --
+    each chip only ever holds the band of the target it renders)
+  - loss/grads: per-chip partials -> psum over both axes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.models.gaussians import GaussianScene
+from gsplat_tpu.parallel.sharding import _render_local_tiles, local_tile_cfg
+from gsplat_tpu.train.losses import rgb_loss
+
+
+def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
+    """Per-parameter learning-rate scaling in the style of graphdeco 3DGS
+    (positions slower than color/opacity)."""
+    return optax.multi_transform(
+        {
+            "means": optax.adam(lr * 0.016),
+            "log_scales": optax.adam(lr * 0.5),
+            "quats": optax.adam(lr * 0.1),
+            "opacity_logits": optax.adam(lr * 5.0),
+            "sh": optax.adam(lr * 0.25),
+        },
+        GaussianScene(
+            means="means",
+            log_scales="log_scales",
+            quats="quats",
+            opacity_logits="opacity_logits",
+            sh="sh",
+        ),
+    )
+
+
+class TrainState(NamedTuple):
+    scene: GaussianScene
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def init_train_state(scene: GaussianScene, optimizer) -> TrainState:
+    return TrainState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32))
+
+
+def make_sharded_train_step(
+    cfg: RenderConfig,
+    mesh: Mesh,
+    optimizer,
+    ssim_weight: float = 0.0,
+    data_axis: str = "data",
+    tile_axis: str = "tiles",
+):
+    """Returns train_step(state, cameras, targets) -> (state, metrics).
+
+    cameras: a Camera pytree with a leading batch axis, sharded over 'data'.
+    targets: (B, padded_H, padded_W, 3), sharded P('data', 'tiles').
+    ssim_weight > 0 requires image bands tall enough for the 11px window.
+    """
+    n_tiles = mesh.shape[tile_axis]
+    lcfg = local_tile_cfg(cfg, n_tiles)
+    true_pixels = cfg.height * cfg.width * 3
+
+    def per_chip_loss(scene, cameras, targets):
+        tile_idx = jax.lax.axis_index(tile_axis)
+        # Validity mask for this band of the PADDED image (the ragged edge
+        # tiles render pixels outside the true image; exclude them).
+        y0 = tile_idx * lcfg.height
+        ys = y0 + jnp.arange(lcfg.height)
+        xs = jnp.arange(lcfg.width)
+        mask = ((ys[:, None] < cfg.height) & (xs[None, :] < cfg.width))[..., None]
+
+        def one_view(camera, target_band):
+            img, _, _ = _render_local_tiles(
+                scene, camera, cfg, lcfg, tile_idx, tile_axis
+            )
+            # Masked L1, normalized by the TRUE pixel count so the psum over
+            # tile bands reconstructs the full-image mean exactly.
+            loss = jnp.sum(jnp.abs(img - target_band) * mask) / true_pixels
+            if ssim_weight > 0.0:
+                # Per-band SSIM (windows are not stitched across band
+                # boundaries -- a documented approximation of global SSIM).
+                from gsplat_tpu.train.losses import ssim
+
+                loss = (1.0 - ssim_weight) * loss + (ssim_weight / n_tiles) * (
+                    1.0 - ssim(img * mask, target_band * mask)
+                )
+            return loss
+
+        losses = jax.vmap(one_view)(cameras, targets)
+        return jnp.mean(losses)
+
+    def shard_fn(state: TrainState, cameras, targets):
+        loss, grads = jax.value_and_grad(per_chip_loss)(
+            state.scene, cameras, targets
+        )
+        # Mean over data shards, sum over tile shards (each tile band is a
+        # disjoint part of every image's loss). The psum is issued inside
+        # shard_map: XLA overlaps it with the optimizer update & remaining
+        # backward computation.
+        grads = jax.lax.psum(grads, tile_axis)
+        grads = jax.lax.pmean(grads, data_axis)
+        loss = jax.lax.psum(loss, tile_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return TrainState(scene, opt_state, state.step + 1), {"loss": loss}
+
+    state_spec = P()
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(state_spec, P(data_axis), P(data_axis, tile_axis)),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_batch(cameras, targets, mesh: Mesh, data_axis="data", tile_axis="tiles"):
+    """Place a (cameras, targets) batch with the layout the train step
+    expects."""
+    cam_sharding = NamedSharding(mesh, P(data_axis))
+    tgt_sharding = NamedSharding(mesh, P(data_axis, tile_axis))
+    cameras = jax.device_put(cameras, cam_sharding)
+    targets = jax.device_put(targets, tgt_sharding)
+    return cameras, targets

@@ -1,0 +1,150 @@
+"""Training loop: fit a GaussianScene to target images.
+
+The reference renders only (no training, no backward -- SURVEY.md section 2);
+this provides the training-framework surface: multi-view L1(+DSSIM)
+optimization with per-parameter Adam, structured per-step metrics, periodic
+checkpointing, and PLY export. Runs single-device or on a ('data','tiles')
+mesh via parallel/train_step.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.models.gaussians import GaussianScene, random_scene
+from gsplat_tpu.ops.camera import Camera, orbit_cameras
+from gsplat_tpu.parallel.train_step import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+)
+from gsplat_tpu.render.pipeline import render
+from gsplat_tpu.train.losses import psnr, rgb_loss
+from gsplat_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
+    """Single-device train step over a batch of (cameras, targets)."""
+
+    def loss_fn(scene, cameras, targets):
+        def one(camera, target):
+            out = render(scene, camera, cfg)
+            return rgb_loss(out.image, target, ssim_weight)
+
+        return jnp.mean(jax.vmap(one)(cameras, targets))
+
+    @jax.jit
+    def step(state: TrainState, cameras, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(state.scene, cameras, targets)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return TrainState(scene, opt_state, state.step + 1), loss
+
+    return step
+
+
+def fit(
+    scene: GaussianScene,
+    cameras,           # Camera pytree with leading view axis
+    targets,           # (V, H, W, 3)
+    cfg: RenderConfig,
+    steps: int = 200,
+    lr: float = 1e-2,
+    batch: int = 1,
+    ssim_weight: float = 0.2,
+    seed: int = 0,
+    log_every: int = 20,
+    checkpoint_every: int = 0,
+    checkpoint_dir: str = "checkpoints",
+    resume: str | None = None,
+    on_metrics=None,
+):
+    """Returns (trained scene, metrics list)."""
+    optimizer = make_optimizer(lr)
+    state = init_train_state(scene, optimizer)
+    if resume:
+        state = load_checkpoint(resume, state)
+        print(f"resumed from {resume} at step {int(state.step)}")
+    step_fn = make_train_step(cfg, optimizer, ssim_weight)
+
+    num_views = targets.shape[0]
+    rng = np.random.default_rng(seed)
+    metrics = []
+    t_last = time.time()
+    start_step = int(state.step)
+    for it in range(start_step, steps):
+        sel = rng.integers(0, num_views, size=batch)
+        cams_b = jax.tree.map(lambda x: x[sel], cameras)
+        targets_b = targets[sel]
+        state, loss = step_fn(state, cams_b, targets_b)
+        if (it + 1) % log_every == 0 or it + 1 == steps:
+            loss = float(loss)
+            dt = time.time() - t_last
+            t_last = time.time()
+            its = log_every / dt if it + 1 != start_step + 1 else 1.0 / dt
+            row = {"step": it + 1, "loss": round(loss, 6), "it_per_s": round(its, 3)}
+            metrics.append(row)
+            print(row if on_metrics is None else on_metrics(row))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            path = os.path.join(checkpoint_dir, f"ckpt_{it + 1:06d}.npz")
+            save_checkpoint(path, state)
+            print(f"checkpoint -> {path}")
+    return state.scene, metrics
+
+
+def train_from_cli(args) -> int:
+    """Backs the `gsplat-tpu train` subcommand: self-supervised demo -- fit a
+    fresh random scene to orbit renders of a target scene (or a PLY)."""
+    from gsplat_tpu.cli import _build_cfg
+    from gsplat_tpu.io.ply import load_ply, save_ply
+    from gsplat_tpu.train.losses import psnr as psnr_fn
+
+    cfg = _build_cfg(args, args.width, args.height)
+    key = jax.random.key(args.seed)
+    if args.ply == "synthetic":
+        target_scene = random_scene(key, args.synthetic_n, sh_degree=min(args.sh_degree, 3))
+    else:
+        target_scene = load_ply(args.ply)
+
+    means = np.asarray(target_scene.means)
+    center = means.mean(0)
+    radius = float(
+        np.percentile(np.linalg.norm(means - center, axis=-1), 90) * 2.5
+    )
+    cams = orbit_cameras(
+        center, radius, args.views, cfg.width, cfg.height,
+        fx=float(cfg.width), fy=float(cfg.height),
+    )
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    print(f"rendering {args.views} target views...")
+    render_j = jax.jit(lambda c: render(target_scene, c, cfg).image)
+    targets = jnp.stack([render_j(c) for c in cams])
+
+    init = random_scene(jax.random.fold_in(key, 1), target_scene.num_gaussians,
+                        sh_degree=target_scene.sh_degree)
+    # Start near the target's spatial distribution.
+    init = init.replace(
+        means=init.means * radius / 2.5 + jnp.asarray(center, jnp.float32),
+    )
+    trained, _ = fit(
+        init, cameras, targets, cfg,
+        steps=args.steps, lr=args.lr, seed=args.seed,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+    )
+    final_psnr = float(
+        psnr_fn(render(trained, cams[0], cfg).image, targets[0])
+    )
+    print(f"final view-0 PSNR: {final_psnr:.2f} dB")
+    save_ply(trained, args.out)
+    print(f"saved {args.out}")
+    return 0

@@ -1,0 +1,74 @@
+"""Training losses: L1 + DSSIM, the standard 3DGS objective.
+
+The reference has no training at all (forward-only viewer; SURVEY.md section
+4); this is part of the differentiable-framework surface BASELINE.json
+requires. SSIM is implemented with depthwise separable 11x11 Gaussian windows
+as two `lax.conv_general_dilated` calls per moment -- convolutions XLA maps
+onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache()
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    import numpy as np
+
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return jnp.asarray((g / g.sum()).astype("float32"))
+
+
+def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur; img (H, W, C)."""
+    size = window.shape[0]
+    c = img.shape[-1]
+    x = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
+    kh = window.reshape(1, 1, size, 1)
+    kw = window.reshape(1, 1, 1, size)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    pad_h = [(size // 2, size // 2), (0, 0)]
+    pad_w = [(0, 0), (size // 2, size // 2)]
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), pad_h, dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), pad_w, dimension_numbers=dn)
+    return x[:, 0].transpose(1, 2, 0)
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, c1: float = 0.01**2, c2: float = 0.03**2):
+    """Mean SSIM over an (H, W, C) pair in [0, 1]."""
+    w = _gaussian_window()
+    mu_a = _blur(a, w)
+    mu_b = _blur(b, w)
+    mu_aa = mu_a * mu_a
+    mu_bb = mu_b * mu_b
+    mu_ab = mu_a * mu_b
+    sigma_aa = _blur(a * a, w) - mu_aa
+    sigma_bb = _blur(b * b, w) - mu_bb
+    sigma_ab = _blur(a * b, w) - mu_ab
+    s = ((2 * mu_ab + c1) * (2 * sigma_ab + c2)) / (
+        (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)
+    )
+    return jnp.mean(s)
+
+
+def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def rgb_loss(pred: jnp.ndarray, target: jnp.ndarray, ssim_weight: float = 0.2):
+    """(1-w)*L1 + w*DSSIM -- the graphdeco 3DGS training objective."""
+    if ssim_weight == 0.0:
+        return l1(pred, target)
+    return (1.0 - ssim_weight) * l1(pred, target) + ssim_weight * (
+        1.0 - ssim(pred, target)
+    )
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((pred - target) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))

@@ -128,22 +128,29 @@ def test_blend_block_in_range_mask():
 
 
 def test_blend_bwd_matches_autodiff():
-    """Hand-derived backward vs jax.grad of the forward block chain."""
+    """Hand-derived backward vs jax.grad of the forward block chain,
+    including the final-transmittance gradient path."""
     key = jax.random.key(5)
     feat, px, py = _random_inputs(key, 48, 64)
     in_range = jnp.ones((1, 48), bool)
     g_color = jax.random.normal(jax.random.key(6), (3, 64))
+    g_trans = jax.random.normal(jax.random.key(7), (64, 1))
 
     def fwd(feat):
         c = init_carry(64)
         c = blend_block(c, feat[:, :24], px, py, in_range[:, :24], CFG)
         c = blend_block(c, feat[:, 24:], px, py, in_range[:, 24:], CFG)
-        return jnp.sum(c.color * g_color), c.color
+        return jnp.sum(c.color * g_color) + jnp.sum(c.trans * g_trans), (
+            c.color,
+            c.trans,
+        )
 
-    (loss, final_color), auto_grad = jax.value_and_grad(fwd, has_aux=True)(feat)
+    (loss, (final_color, final_trans)), auto_grad = jax.value_and_grad(
+        fwd, has_aux=True
+    )(feat)
 
     # Analytic backward: forward re-walk with suffix-sum trick.
-    b_total = jnp.sum(g_color * final_color, axis=0)[:, None]
+    b_total = jnp.sum(g_color * final_color, axis=0)[:, None] + g_trans * final_trans
     carry = init_carry(64)
     accum = jnp.zeros((64, 1))
     d1, carry, accum = blend_block_bwd(

@@ -1,0 +1,111 @@
+"""Pallas kernels vs the jnp reference path (interpreter mode on CPU; the
+same kernels run compiled on TPU -- exercised by bench.py / __graft_entry__)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import Camera, RenderConfig, random_scene
+from gsplat_tpu.ops.binning import bin_gaussians, gather_features
+from gsplat_tpu.ops.pallas.raster import rasterize_pallas
+from gsplat_tpu.ops.projection import project_gaussians
+from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+from gsplat_tpu.render.pipeline import render, render_loss
+
+PCFG = RenderConfig(
+    width=64,
+    height=64,
+    tile_size=8,
+    max_intersections=1 << 13,
+    max_tiles_per_gaussian=64,
+    block_size=8,
+    max_per_tile=512,
+    pallas_block_size=32,
+    pallas_interpret=True,
+    impl="pallas",
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_inputs():
+    scene = random_scene(jax.random.key(0), 150, sh_degree=2)
+    cam = Camera.default(PCFG.width, PCFG.height)
+    proj = project_gaussians(scene, cam, PCFG)
+    binned = bin_gaussians(proj, PCFG)
+    features = gather_features(proj, binned, PCFG)
+    return scene, cam, features, binned
+
+
+def test_pallas_fwd_matches_jnp(pipeline_inputs):
+    _, _, features, binned = pipeline_inputs
+    img_p, trans_p = rasterize_pallas(features, binned.ranges, PCFG)
+    img_j, trans_j = rasterize_tiles_jnp(features, binned.ranges, PCFG)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_j), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(trans_p), np.asarray(trans_j), rtol=1e-4, atol=1e-6
+    )
+    assert float(jnp.max(img_p)) > 0.01
+
+
+def test_pallas_bwd_matches_jnp(pipeline_inputs):
+    _, _, features, binned = pipeline_inputs
+    key = jax.random.key(5)
+    g_img = jax.random.normal(key, (PCFG.height, PCFG.width, 3))
+    g_trans = jax.random.normal(jax.random.fold_in(key, 1), (PCFG.height, PCFG.width))
+
+    def loss_pallas(f):
+        img, trans = rasterize_pallas(f, binned.ranges, PCFG)
+        return jnp.sum(img * g_img) + jnp.sum(trans * g_trans)
+
+    def loss_jnp(f):
+        img, trans = rasterize_tiles_jnp(f, binned.ranges, PCFG)
+        return jnp.sum(img * g_img) + jnp.sum(trans * g_trans)
+
+    gp = jax.grad(loss_pallas)(features)
+    gj = jax.grad(loss_jnp)(features)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_full_pipeline_grads(pipeline_inputs):
+    """End-to-end scene gradients through the Pallas path == jnp path."""
+    scene, cam, _, _ = pipeline_inputs
+    target = jax.random.uniform(jax.random.key(9), (PCFG.height, PCFG.width, 3))
+
+    cfg_jnp = dataclasses.replace(PCFG, impl="jnp")
+    g_pallas = jax.grad(render_loss)(scene, cam, target, PCFG)
+    g_jnp = jax.grad(render_loss)(scene, cam, target, cfg_jnp)
+    for a, b in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_jnp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
+
+
+def test_pallas_empty_tiles(pipeline_inputs):
+    """Tiles with no Gaussians must come out black with T=1."""
+    _, _, features, binned = pipeline_inputs
+    empty_ranges = jnp.zeros_like(binned.ranges)
+    img, trans = rasterize_pallas(features, empty_ranges, PCFG)
+    np.testing.assert_array_equal(np.asarray(img), 0.0)
+    np.testing.assert_array_equal(np.asarray(trans), 1.0)
+
+
+def test_pallas_early_exit_correctness():
+    """Opaque front Gaussians saturate pixels; the early-exited Pallas walk
+    must still match the full jnp walk."""
+    scene = random_scene(jax.random.key(2), 300, sh_degree=0)
+    scene = scene.replace(
+        opacity_logits=jnp.full_like(scene.opacity_logits, 4.0),
+        log_scales=jnp.full_like(scene.log_scales, -1.5),
+    )
+    cam = Camera.default(PCFG.width, PCFG.height)
+    out_p = render(scene, cam, PCFG)
+    out_j = render(scene, cam, dataclasses.replace(PCFG, impl="jnp"))
+    assert float(jnp.min(out_p.transmittance)) < 1e-3  # saturation happened
+    np.testing.assert_allclose(
+        np.asarray(out_p.image), np.asarray(out_j.image), rtol=1e-4, atol=1e-5
+    )

@@ -1,0 +1,87 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu import Camera, RenderConfig, random_scene, render
+from gsplat_tpu.parallel.train_step import init_train_state, make_optimizer
+from gsplat_tpu.train.loop import fit, make_train_step
+from gsplat_tpu.train.losses import l1, psnr, rgb_loss, ssim
+from gsplat_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+CFG = RenderConfig(
+    width=32, height=32, tile_size=8, max_intersections=1 << 12,
+    max_tiles_per_gaussian=32, block_size=8, max_per_tile=128,
+)
+
+
+def test_ssim_identity():
+    img = jax.random.uniform(jax.random.key(0), (32, 32, 3))
+    assert abs(float(ssim(img, img)) - 1.0) < 1e-5
+    noisy = img + 0.3 * jax.random.normal(jax.random.key(1), img.shape)
+    assert float(ssim(img, noisy)) < 0.9
+
+
+def test_psnr():
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.full((8, 8, 3), 0.1)
+    assert abs(float(psnr(a, b)) - 20.0) < 1e-3
+
+
+def test_rgb_loss_combines():
+    a = jax.random.uniform(jax.random.key(0), (32, 32, 3))
+    b = jax.random.uniform(jax.random.key(1), (32, 32, 3))
+    pure_l1 = float(l1(a, b))
+    combined = float(rgb_loss(a, b, ssim_weight=0.2))
+    assert combined != pure_l1
+    assert float(rgb_loss(a, b, ssim_weight=0.0)) == pure_l1
+
+
+def test_fit_reduces_loss():
+    key = jax.random.key(0)
+    target_scene = random_scene(key, 40, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = render(target_scene, cam, CFG).image
+    cameras = jax.tree.map(lambda x: x[None], cam)
+    targets = target[None]
+
+    # Start from a perturbed copy of the target scene.
+    init = target_scene.replace(
+        means=target_scene.means
+        + 0.03 * jax.random.normal(jax.random.fold_in(key, 1), target_scene.means.shape),
+        opacity_logits=target_scene.opacity_logits - 0.5,
+    )
+    optimizer = make_optimizer(1e-2)
+    step = make_train_step(CFG, optimizer, ssim_weight=0.0)
+    state = init_train_state(init, optimizer)
+    _, l0 = step(state, cameras, targets)
+    trained, metrics = fit(
+        init, cameras, targets, CFG, steps=30, lr=1e-2,
+        ssim_weight=0.0, log_every=30,
+    )
+    assert metrics[-1]["loss"] < float(l0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene = random_scene(jax.random.key(0), 16, sh_degree=1)
+    optimizer = make_optimizer(1e-2)
+    state = init_train_state(scene, optimizer)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    scene = random_scene(jax.random.key(0), 16, sh_degree=1)
+    optimizer = make_optimizer(1e-2)
+    state = init_train_state(scene, optimizer)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state)
+    bigger = init_train_state(
+        random_scene(jax.random.key(1), 32, sh_degree=1), optimizer
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path, bigger)

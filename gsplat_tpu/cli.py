@@ -48,7 +48,7 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--max-per-tile", type=int, default=4096)
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--impl", default="jnp", choices=["jnp", "pallas"])
-    p.add_argument("--binning", default="sort", choices=["sort", "scatter"])
+    p.add_argument("--binning", default="sort", choices=["sort", "scatter", "packed", "tiered"])
 
 
 def _load_scene(args):

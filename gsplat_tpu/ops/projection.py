@@ -92,27 +92,44 @@ def project_gaussians(scene, camera: Camera, cfg: RenderConfig) -> ProjectedGaus
     )
     uv = ndc * 0.5 + 0.5
 
-    # EWA 2D covariance.
-    cov3d = compute_cov3d(scene.log_scales, scene.quats, cfg.scale_modifier)
+    # EWA 2D covariance, fully unrolled into (N,)-vector arithmetic: the
+    # naive formulation is a batch of 2x3 / 3x3 dot_generals whose tiny
+    # contraction dims waste the MXU; unrolling keeps everything as fused
+    # elementwise VPU work.
     tz_safe = jnp.where(in_frustum, tz, 1.0)
     lim_xy = 1.3 * camera.tan_fov  # (2,); reference: process_gaussians.wgsl:180-186
     txy = jnp.clip(p_view[:, :2] / tz_safe[:, None], -lim_xy, lim_xy) * tz_safe[:, None]
     fx, fy = camera.focal[0], camera.focal[1]
     inv_tz = 1.0 / tz_safe
     inv_tz2 = inv_tz * inv_tz
-    zeros = jnp.zeros_like(tz)
-    jac = jnp.stack(
-        [
-            jnp.stack([fx * inv_tz, zeros, -fx * txy[:, 0] * inv_tz2], -1),
-            jnp.stack([zeros, fy * inv_tz, -fy * txy[:, 1] * inv_tz2], -1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    t2 = jnp.einsum("nij,jk->nik", jac, camera.view[:3, :3])  # (N, 2, 3)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", t2, cov3d, t2)     # (N, 2, 2)
-    c00 = cov2d[:, 0, 0] + cfg.lowpass
-    c01 = cov2d[:, 0, 1]
-    c11 = cov2d[:, 1, 1] + cfg.lowpass
+    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2].
+    ja = fx * inv_tz
+    jb = -fx * txy[:, 0] * inv_tz2
+    jc = fy * inv_tz
+    jd = -fy * txy[:, 1] * inv_tz2
+    w = camera.view[:3, :3]
+    # T2 = J @ W: row 0 = ja * W[0] + jb * W[2]; row 1 = jc * W[1] + jd * W[2].
+    t0 = [ja * w[0, k] + jb * w[2, k] for k in range(3)]  # 3 x (N,)
+    t1 = [jc * w[1, k] + jd * w[2, k] for k in range(3)]
+
+    # Sigma = R diag(s^2) R^T, entries sig[i][j] = sum_k s2_k R[:,i,k] R[:,j,k].
+    rot = quat_to_rotmat(scene.quats)  # (N, 3, 3); fused away by XLA
+    s2 = jnp.square(jnp.exp(scene.log_scales) * cfg.scale_modifier)  # (N, 3)
+    sig = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            acc = s2[:, 0] * rot[:, i, 0] * rot[:, j, 0]
+            acc += s2[:, 1] * rot[:, i, 1] * rot[:, j, 1]
+            acc += s2[:, 2] * rot[:, i, 2] * rot[:, j, 2]
+            sig[i][j] = sig[j][i] = acc
+
+    def quad(u, v):
+        # u @ Sigma @ v for 3-vectors of (N,) components.
+        return sum(u[i] * sum(sig[i][j] * v[j] for j in range(3)) for i in range(3))
+
+    c00 = quad(t0, t0) + cfg.lowpass
+    c01 = quad(t0, t1)
+    c11 = quad(t1, t1) + cfg.lowpass
 
     det = c00 * c11 - c01 * c01
     valid = in_frustum & (det > 0.0)

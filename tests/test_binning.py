@@ -73,6 +73,60 @@ def test_sort_and_scatter_agree(small_cfg, small_scene, small_camera):
     )
 
 
+def test_packed_binning_matches_sort(small_cfg, small_scene, small_camera):
+    """Packed single-key mode: identical per-tile membership and ranges;
+    ordering identical up to quantized-depth ties (none in a random scene)."""
+    _, b_sort, _ = _bin(small_cfg, small_scene, small_camera, "sort")
+    _, b_packed, cfg = _bin(small_cfg, small_scene, small_camera, "packed")
+    np.testing.assert_array_equal(
+        np.asarray(b_sort.ranges), np.asarray(b_packed.ranges)
+    )
+    total = int(b_sort.num_intersections)
+    np.testing.assert_array_equal(
+        np.asarray(b_sort.sorted_gid)[:total],
+        np.asarray(b_packed.sorted_gid)[:total],
+    )
+
+
+def test_tiered_binning_matches_sort(small_cfg, small_scene, small_camera):
+    """Tiered candidate pools reproduce the exact sorted stream when the
+    overflow budgets suffice."""
+    _, b_sort, _ = _bin(small_cfg, small_scene, small_camera, "sort")
+    _, b_tiered, cfg = _bin(small_cfg, small_scene, small_camera, "tiered")
+    assert not bool(b_tiered.overflow)
+    assert int(b_tiered.num_intersections) == int(b_sort.num_intersections)
+    np.testing.assert_array_equal(
+        np.asarray(b_sort.ranges), np.asarray(b_tiered.ranges)
+    )
+    total = int(b_sort.num_intersections)
+    np.testing.assert_array_equal(
+        np.asarray(b_sort.sorted_gid)[:total],
+        np.asarray(b_tiered.sorted_gid)[:total],
+    )
+
+
+def test_tiered_pool_overflow_flag(small_camera):
+    """More big-rect Gaussians than the pool budget -> overflow flagged."""
+    import jax as _jax
+    from gsplat_tpu.models.gaussians import random_scene as _rs
+
+    # Huge gaussians: every one covers > 16 tiles; budget n//16 = 0 -> flag.
+    scene = _rs(_jax.random.key(5), 16, sh_degree=0)
+    scene = scene.replace(log_scales=jnp.full_like(scene.log_scales, 0.0))
+    cfg = RenderConfig(
+        width=64, height=64, tile_size=8, max_intersections=1 << 13,
+        max_tiles_per_gaussian=64, block_size=8, max_per_tile=256,
+        binning="tiered",
+    )
+    from gsplat_tpu.ops.projection import project_gaussians as _pg
+
+    proj = _pg(scene, small_camera, cfg)
+    binned = bin_gaussians(proj, cfg)
+    counts = np.asarray(proj.counts)
+    if (counts > 16).sum() > max(16 // 16, 1):
+        assert bool(binned.overflow)
+
+
 def test_capacity_overflow_flag(small_scene, small_camera):
     cfg = RenderConfig(
         width=64, height=64, tile_size=8, max_intersections=8,

@@ -104,6 +104,30 @@ def _align_stream(s_tile, s_gid, ranges, max_i: int, n_local: int, align: int):
     return new_tile, new_gid, new_ranges, total_padded
 
 
+def depth_bits_for(n_tiles: int) -> int:
+    """Depth bits left in a u32 key after the tile id of an n_tiles grid."""
+    tile_bits = max(int(n_tiles + 1).bit_length(), 1)
+    return 32 - tile_bits
+
+
+def pack_tile_depth_key(tile, depth, n_tiles: int):
+    """u32 key = tile << depth_bits | monotone-float-bit-quantized depth.
+    Raw float bits of a positive float are monotone in the float, so sorting
+    the packed key orders by (tile, depth) exactly up to depth ties within
+    2^-depth_bits relative precision (far finer than the reference's
+    1000-level decimal quantization, src/write_tile_ids.wgsl:29-31)."""
+    depth_bits = depth_bits_for(n_tiles)
+    if depth_bits < 12:
+        raise ValueError(
+            f"{n_tiles} tiles leave only {depth_bits} depth bits in a u32 key"
+        )
+    dbits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    depth_q = jax.lax.shift_right_logical(dbits, 31 - depth_bits)
+    return jax.lax.shift_left(
+        tile.astype(jnp.uint32), jnp.uint32(depth_bits)
+    ) | depth_q.astype(jnp.uint32)
+
+
 def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     """Tiered candidate expansion: every Gaussian gets K0=4 candidate slots;
     Gaussians whose rect covers more tiles are compacted (cumsum-rank
@@ -222,20 +246,8 @@ def bin_gaussians(
         # near-equal depths. Far finer than the reference's 1000-level
         # decimal quantization (reference: src/write_tile_ids.wgsl:29-31)
         # and ~2/3 the sort traffic of the exact mode.
-        tile_bits = max(int(n_local + 1).bit_length(), 1)
-        depth_bits = 32 - tile_bits
-        if depth_bits < 12:
-            raise ValueError(
-                f"{n_local} tiles leave only {depth_bits} depth bits; "
-                "use binning='sort'"
-            )
-        dbits = jax.lax.bitcast_convert_type(
-            depth.astype(jnp.float32), jnp.int32
-        )
-        depth_q = jax.lax.shift_right_logical(dbits, 31 - depth_bits)
-        key = jax.lax.shift_left(
-            tile.astype(jnp.uint32), jnp.uint32(depth_bits)
-        ) | depth_q.astype(jnp.uint32)
+        depth_bits = depth_bits_for(n_local)
+        key = pack_tile_depth_key(tile, depth, n_local)
         key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
         s_key, s_gid = jax.lax.sort_key_val(key, gid.reshape(-1))
         if s_key.shape[0] >= max_i:

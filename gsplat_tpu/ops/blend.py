@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gsplat_tpu.config import RenderConfig
@@ -79,8 +80,16 @@ def cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def triangular_cumsum(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """cumsum via (P,G) @ (G,G) upper-triangular ones matrix -- MXU-native."""
-    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+    """cumsum via (P,G) @ (G,G) upper-triangular ones matrix -- MXU-native.
+
+    HIGHEST precision is required: the MXU's default single-pass bf16 rounds
+    the log-transmittance prefix sums to ~3 decimal digits, which shows up as
+    ~1e-2 absolute image error vs the jnp rasterizer. The kernels are
+    DMA-bound, so the extra MXU passes are free."""
+    return jnp.dot(
+        x, tri, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def make_triangular(g: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -162,7 +171,8 @@ def blend_block(
     colors = feat[FEAT_R : FEAT_R + 3]  # (3, G)
     # (3, G) x (P, G) contracted over G -> (3, P): MXU.
     new_color = carry.color + jnp.einsum(
-        "cg,pg->cp", colors, w, preferred_element_type=jnp.float32
+        "cg,pg->cp", colors, w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return BlendCarry(color=new_color, trans=new_trans, done=new_done)
 
@@ -195,7 +205,10 @@ def blend_block_bwd(
     colors = feat[FEAT_R : FEAT_R + 3]  # (3, G)
 
     # dL/dw[p,g] = sum_c colors[c,g] * g_color[c,p]
-    dw = jnp.einsum("cg,cp->pg", colors, g_color, preferred_element_type=jnp.float32)
+    dw = jnp.einsum(
+        "cg,cp->pg", colors, g_color, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     b = dw * w                                    # (P, G)
     cum_b = accum_b + cumsum_fn(b)                # inclusive prefix incl. past blocks
     suffix = b_total - cum_b                      # sum over strictly-later Gaussians
@@ -230,7 +243,8 @@ def blend_block_bwd(
     d_op = jnp.sum(dop_pg, axis=0)
     # dL/dcolor[c,g] = sum_p g_color[c,p] * w[p,g]
     d_colors = jnp.einsum(
-        "cp,pg->cg", g_color, w, preferred_element_type=jnp.float32
+        "cp,pg->cg", g_color, w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     dfeat = jnp.concatenate(

@@ -1,0 +1,203 @@
+"""Gaussian-sharded multi-chip rendering (memory scaling for 6M+ splats).
+
+The reference is a single-device browser app with no distribution of any kind
+(SURVEY.md section 2, "Parallelism components"); this is the BASELINE.json
+config-5 scaling mode: the scene's N axis is sharded over the mesh, so no
+chip ever holds (or optimizes) more than N/D Gaussians.
+
+Design -- the 3DGS analogue of expert/context parallelism, with one
+`all_to_all` as the only collective in the forward pass:
+
+  Every device owns BOTH a Gaussian shard (N/D splats) and a tile shard
+  (contiguous tile rows of the image, same partition as
+  sharding.render_tile_sharded). Per device:
+
+  1. project its local Gaussians (N/D work),
+  2. bin + depth-sort them over the GLOBAL tile grid (per-shard sort --
+     sorts are O((N/D) log) instead of O(N log)),
+  3. re-space the sorted stream into D fixed-capacity blocks, one per
+     destination tile shard (pure gather; the sorted-by-tile stream is
+     already segmented by destination because tile shards are contiguous),
+  4. exchange blocks with `lax.all_to_all` -- the per-tile fragment
+     exchange; feature payloads ride along so no second lookup is needed,
+  5. merge the D received depth-sorted segments with one packed-key
+     sort over local tiles (order-correct composite: the merged stream is
+     globally depth-ordered per tile, so blending is EXACT, not a
+     per-shard (color, T) approximation),
+  6. blend its tile rows exactly like the single-device pipeline.
+
+  Backward: ordering is a stop-gradient permutation; gradients flow
+  image -> received features -> (all_to_all transpose, which XLA emits as
+  the reverse all_to_all) -> sent features -> local Gaussians. Each chip
+  ends up with gradients for exactly its own N/D parameters -- no psum over
+  parameters at all (contrast tile-sharded mode, which psums full-N grads).
+
+Capacity discipline: `per_dest_capacity` is the static per-(source, dest)
+fragment budget; the exchange is D x per_dest_capacity both ways. Overflow
+(any source->dest segment exceeding it) is flagged, mirroring the
+single-device max_intersections policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.models.gaussians import GaussianScene
+from gsplat_tpu.ops.binning import (
+    PADDED_FEATURES,
+    _align_stream,
+    bin_gaussians,
+    depth_bits_for,
+    gather_features,
+    pack_tile_depth_key,
+)
+from gsplat_tpu.ops.camera import Camera
+from gsplat_tpu.ops.projection import project_gaussians
+from gsplat_tpu.parallel.sharding import local_tile_cfg
+
+
+def _fragment_blocks(proj, binned, cfg: RenderConfig, lcfg: RenderConfig,
+                     num_shards: int, cap: int):
+    """Re-space the globally-sorted local stream into D fixed-size
+    destination blocks. Returns (feat_blocks (F, D*cap), tile_blocks (D*cap,)
+    local-tile ids with sentinel lcfg.num_tiles, overflow ())."""
+    td = lcfg.num_tiles  # tiles per destination shard
+    ranges = binned.ranges  # (num_tiles + 1,) over the GLOBAL grid
+    seg_start = ranges[jnp.arange(num_shards) * td]            # (D,)
+    seg_end = ranges[(jnp.arange(num_shards) + 1) * td]        # (D,)
+    overflow = jnp.any(seg_end - seg_start > cap)
+
+    s = jnp.arange(num_shards * cap, dtype=jnp.int32)
+    dest = s // cap
+    src_pos = seg_start[dest] + s % cap                        # (D*cap,)
+    valid = src_pos < seg_end[dest]
+
+    feats = gather_features(proj, binned, cfg)                 # (F, max_I)
+    idx = jnp.where(valid, src_pos, feats.shape[1])
+    feat_blocks = jnp.take(feats, idx, axis=1, mode="fill", fill_value=0.0)
+    tile = jnp.take(
+        binned.sorted_tile, jnp.minimum(src_pos, binned.sorted_tile.shape[0] - 1),
+        axis=0,
+    )
+    tile_blocks = jnp.where(valid, tile - dest * td, td).astype(jnp.int32)
+    depth_row = feat_blocks[-1]  # FEAT_DEPTH is the last feature row
+    return feat_blocks, tile_blocks, depth_row, overflow
+
+
+def _merge_received(recv_feats, recv_tile, recv_depth, lcfg: RenderConfig,
+                    align: int):
+    """Merge D depth-sorted fragments into one per-tile depth-ordered,
+    `align`-aligned feature stream + ranges for the local tile rows."""
+    m = recv_tile.shape[0]
+    td = lcfg.num_tiles
+    depth_bits = depth_bits_for(td)
+    key = pack_tile_depth_key(recv_tile, recv_depth, td)
+    key = jnp.where(recv_tile >= td, jnp.uint32(0xFFFFFFFF), key)
+    perm = jnp.arange(m, dtype=jnp.int32)
+    s_key, s_perm = jax.lax.sort_key_val(key, perm)
+    s_tile = jnp.minimum(
+        jax.lax.shift_right_logical(s_key, jnp.uint32(depth_bits)),
+        jnp.uint32(td),
+    ).astype(jnp.int32)
+    ranges = jnp.searchsorted(
+        s_tile, jnp.arange(td + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    overflow = jnp.zeros((), bool)
+    if align > 1:
+        s_tile, s_perm, ranges, total_padded = _align_stream(
+            s_tile, s_perm, ranges, m, td, align
+        )
+        overflow = total_padded > m
+    gid = jnp.where(s_perm < 0, m, s_perm)
+    feats = jnp.take(recv_feats, gid, axis=1, mode="fill", fill_value=0.0)
+    return feats, jax.lax.stop_gradient(ranges), overflow
+
+
+def render_gaussian_sharded(
+    scene: GaussianScene,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    axis_name: str = "gauss",
+    per_dest_capacity: int | None = None,
+    background: jnp.ndarray | None = None,
+):
+    """Render with the scene's N axis sharded over `mesh[axis_name]`.
+
+    `scene` arrays must be shardable on axis 0 by the mesh axis size (pad the
+    scene with transparent Gaussians via GaussianScene.pad_to if needed).
+    Returns (image (H, W, 3), transmittance (H, W), overflow ()); the image
+    comes out sharded over rows, like render_tile_sharded.
+    """
+    d = mesh.shape[axis_name]
+    lcfg = local_tile_cfg(cfg, d)
+    cap = per_dest_capacity or max(cfg.max_intersections // d, 1)
+    # Per-source binning must not pre-align (alignment happens after the
+    # exchange) and must use the single-u32-key path so the per-tile order is
+    # the same quantized order the merge sort uses.
+    src_cfg = dataclasses.replace(
+        cfg,
+        binning="tiered" if cfg.binning == "tiered" else "packed",
+        stream_align=1,
+    )
+    align = cfg.stream_align or (
+        cfg.pallas_block_size if cfg.impl == "pallas" else 1
+    )
+
+    def shard_fn(scene, camera):
+        idx = jax.lax.axis_index(axis_name)
+        proj = project_gaussians(scene, camera, src_cfg)
+        binned = bin_gaussians(proj, src_cfg)
+        feat_blocks, tile_blocks, depth_row, ovf = _fragment_blocks(
+            proj, binned, src_cfg, lcfg, d, cap
+        )
+        # The fragment exchange: block i on source s becomes block s on
+        # destination i. Feature payload (F, D*cap) splits on the slot axis.
+        recv_feats = jax.lax.all_to_all(
+            feat_blocks, axis_name, split_axis=1, concat_axis=1, tiled=True
+        )
+        recv_tile = jax.lax.all_to_all(
+            tile_blocks, axis_name, split_axis=0, concat_axis=0, tiled=True
+        )
+        recv_depth = jax.lax.all_to_all(
+            depth_row, axis_name, split_axis=0, concat_axis=0, tiled=True
+        )
+        feats, ranges, merge_ovf = _merge_received(
+            recv_feats, recv_tile, recv_depth, lcfg, align
+        )
+        tile_offset = idx * lcfg.num_tiles
+        if cfg.impl == "pallas":
+            from gsplat_tpu.ops.pallas.raster import rasterize_pallas
+
+            image, trans = rasterize_pallas(
+                feats, ranges, lcfg, tile_offset=tile_offset
+            )
+        else:
+            from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+            image, trans = rasterize_tiles_jnp(
+                feats, ranges, lcfg, tile_offset=tile_offset
+            )
+        ovf = ovf | binned.overflow | merge_ovf
+        ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis_name)
+        return image, trans, ovf
+
+    img, trans, ovf = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(P(axis_name, None, None), P(axis_name, None), P()),
+        check_vma=False,
+    )(scene, camera)
+    img = img[: cfg.height, : cfg.width]
+    trans = trans[: cfg.height, : cfg.width]
+    if background is not None:
+        img = img + trans[..., None] * background
+    return img, trans, ovf.astype(bool)

@@ -32,6 +32,7 @@ def main():
             max_intersections=1 << 23,
             block_size=32,
             max_per_tile=8192,
+            binning="tiered",
         )
     else:
         kwargs = dict(

@@ -70,6 +70,16 @@ class RenderConfig:
     # 'scatter': cumsum offsets + scatter into the capacity buffer, then sort
     #            max_intersections keys (when N*K_max >> max_intersections).
     binning: str = "sort"
+    # Exact ellipse-tile intersection culling of rect candidates whose peak
+    # alpha in the tile is below alpha_min. Image- and gradient-invariant
+    # (the blend skips those anyway); shrinks the intersection stream 2-4x.
+    tile_culling: bool = True
+    # 'tiered' binning shape: (K0, div1, div2). Every Gaussian gets K0
+    # candidate slots; Gaussians with more surviving tiles go to overflow
+    # pools of N/div1 rows x (4*K0 - K0) slots and N/div2 rows x
+    # (K_max - 4*K0) slots. Budgets are checked against post-cull counts;
+    # exceeding one sets the overflow flag.
+    tier_spec: tuple = (8, 2, 8)
     # Rasterizer implementation: 'jnp' (pure XLA, differentiable by autodiff
     # or the shared analytic VJP) or 'pallas' (fused TPU kernel, custom VJP).
     impl: str = "jnp"

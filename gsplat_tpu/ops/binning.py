@@ -27,6 +27,8 @@ becomes an overflow flag. Two binning strategies (cfg.binning):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -53,6 +55,21 @@ PADDED_FEATURES = 16
 
 
 @struct.dataclass
+class TierMeta:
+    """Backward-pass metadata for one candidate tier (see _gather_slots_bwd).
+
+    A tier is a dense (R, k_range) candidate grid; its candidates occupy a
+    contiguous id range, so the slot gradients of its surviving candidates
+    form contiguous per-row windows once sorted by candidate id."""
+    member: jnp.ndarray | None   # (N,) bool pool membership; None => R == N
+    rank: jnp.ndarray | None     # (N,) int32 pool row of each member
+    row_counts: jnp.ndarray      # (R,) int32 surviving candidates per row
+    row_offsets: jnp.ndarray     # (R,) int32 exclusive start of the row's
+    #                            #   window in candidate-sorted present order
+    k_range: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
 class BinnedGaussians:
     sorted_tile: jnp.ndarray   # (max_I,) int32, sentinel = num_tiles
     sorted_gid: jnp.ndarray    # (max_I,) int32 gaussian index per slot
@@ -61,9 +78,14 @@ class BinnedGaussians:
     #                          #   [ranges[t], ranges[t+1])
     num_intersections: jnp.ndarray  # () int32 true total (may exceed capacity)
     overflow: jnp.ndarray      # () bool: capacity or K_max exceeded
+    sorted_cand: jnp.ndarray | None = None  # (max_I,) int32 candidate id per
+    #                          #   slot (-1 = padding); enables the
+    #                          #   sort-based gather backward
+    tiers: tuple = ()          # tuple[TierMeta, ...] (empty => autodiff bwd)
 
 
-def _align_stream(s_tile, s_gid, ranges, max_i: int, n_local: int, align: int):
+def _align_stream(s_tile, s_gid, ranges, max_i: int, n_local: int, align: int,
+                  s_cand=None):
     """Re-space the sorted stream so every tile's segment length is a multiple
     of `align` (the Pallas blend block size). Padding slots get gid -1, which
     gathers to all-zero features (zero opacity -> no contribution, no
@@ -99,9 +121,23 @@ def _align_stream(s_tile, s_gid, ranges, max_i: int, n_local: int, align: int):
 
     orig = s - shift_of_s
     valid = (orig < end_of_s) & (s < total_padded)
-    new_gid = jnp.where(valid, s_gid[jnp.clip(orig, 0, max_i - 1)], -1)
+    orig_c = jnp.clip(orig, 0, max_i - 1)
+    new_gid = jnp.where(valid, s_gid[orig_c], -1)
     new_tile = jnp.where(valid, t_of_s, n_local)
-    return new_tile, new_gid, new_ranges, total_padded
+    if s_cand is None:
+        return new_tile, new_gid, new_ranges, total_padded
+    new_cand = jnp.where(valid, s_cand[orig_c], -1)
+    return new_tile, new_gid, new_ranges, total_padded, new_cand
+
+
+def _rect_divmod(k, w):
+    """(k // w, k % w) for int32 k in [0, 2^16), w in [1, 2^10) via f32
+    division: the VPU has no integer divide (XLA expands it to a long
+    sequence), while (k + 0.5) / w is provably never within f32 rounding
+    error of an integer, so floor is exact."""
+    q = jnp.floor((k.astype(jnp.float32) + 0.5) / w.astype(jnp.float32))
+    q = q.astype(jnp.int32)
+    return q, k - q * w
 
 
 def depth_bits_for(n_tiles: int) -> int:
@@ -128,6 +164,69 @@ def pack_tile_depth_key(tile, depth, n_tiles: int):
     ) | depth_q.astype(jnp.uint32)
 
 
+def _precise_tile_valid(proj: ProjectedGaussians, ids, tx, ty, cfg: RenderConfig):
+    """Exact ellipse-tile intersection test (the reference and the original
+    3DGS CUDA code bin by the conservative screen rect only, reference:
+    src/process_gaussians.wgsl:297-319). A candidate survives iff its peak
+    alpha over the tile's pixel centers reaches cfg.alpha_min -- i.e.
+    min_{p in rect} q(p) <= 2*ln(opacity/alpha_min), with
+    q(p) = A dx^2 + 2B dx dy + C dy^2 the conic quadratic the blend
+    evaluates. Because the blend skips alpha < alpha_min anyway
+    (ops/blend.py ok-mask), culling these candidates changes NOTHING in the
+    image or gradients -- it only shrinks the intersection stream (2-4x for
+    fat anisotropic splats, which rects grossly overcover).
+
+    The constrained minimum of the convex quadratic over an axis-aligned
+    rect is exact: 0 if the center is inside, else the min over the four
+    edges, each a 1D convex quadratic minimized at its clamped stationary
+    point. ids: (R,) Gaussian row per candidate row; tx, ty: (R, K) tile
+    coords. Returns (R, K) bool.
+
+    NOTE on indexing style: `jnp.take` on 1-D columns, never mixed
+    advanced+basic indexing like `proj.conic[ids, 0]` -- XLA lowers the
+    mixed form to a pathological gather on TPU (measured 80x slower)."""
+    ts = float(cfg.tile_size)
+
+    def col(x2d, j):
+        return jnp.take(x2d[:, j], ids)[:, None]
+
+    gx = col(proj.uv, 0) * cfg.width
+    gy = col(proj.uv, 1) * cfg.height
+    a = col(proj.conic, 0)
+    b = col(proj.conic, 1)
+    c = col(proj.conic, 2)
+    op = jnp.take(proj.opacity, ids)[:, None]
+
+    # Tile pixel-center range [t*ts, t*ts + ts - 1], as deltas from center.
+    dx0 = tx * ts - gx
+    dx1 = dx0 + (ts - 1.0)
+    dy0 = ty * ts - gy
+    dy1 = dy0 + (ts - 1.0)
+    inside = (dx0 <= 0) & (0 <= dx1) & (dy0 <= 0) & (0 <= dy1)
+
+    a_s = jnp.maximum(a, 1e-12)
+    c_s = jnp.maximum(c, 1e-12)
+
+    def q(dx, dy):
+        return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+
+    def edge_x(d):  # dx = d fixed, minimize over dy
+        dy = jnp.clip(-b * d / c_s, dy0, dy1)
+        return q(d, dy)
+
+    def edge_y(d):  # dy = d fixed, minimize over dx
+        dx = jnp.clip(-b * d / a_s, dx0, dx1)
+        return q(dx, d)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(dx0), edge_x(dx1)),
+        jnp.minimum(edge_y(dy0), edge_y(dy1)),
+    )
+    qmin = jnp.where(inside, 0.0, qmin)
+    tau = 2.0 * jnp.log(jnp.maximum(op / cfg.alpha_min, 1e-12))
+    return (op > cfg.alpha_min) & (qmin <= tau)
+
+
 def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     """Tiered candidate expansion: every Gaussian gets K0=4 candidate slots;
     Gaussians whose rect covers more tiles are compacted (cumsum-rank
@@ -136,43 +235,73 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     dominant cost at 1M Gaussians -- while preserving exact coverage up to
     the (flagged) pool budgets.
 
-    Returns (tile (M,), depth (M,), gid (M,), valid (M,), pool_overflow ()).
+    Returns (tile (M,), depth (M,), gid (M,), valid (M,), pool_overflow (),
+    tier_shapes [(R, k_range)...], tier_members [(member, rank) or None ...]).
     """
     n = proj.mask.shape[0]
     kmax = cfg.max_tiles_per_gaussian
-    tiers = [(0, min(4, kmax), None)]
-    if kmax > 4:
-        tiers.append((4, min(16, kmax), max(n // 4, 1)))
-    if kmax > 16:
-        tiers.append((16, kmax, max(n // 16, 1)))
 
+    # Upfront (N, K_max) rect enumeration + exact ellipse culling, then a
+    # per-row compaction (one lane-wise sort) so tiers enumerate only the
+    # SURVIVING tiles. Tier membership and pool budgets are therefore sized
+    # on true post-cull counts -- without this, fat-splat scenes blow the
+    # pool budgets on rect candidates the cull would have dropped anyway.
+    k = jnp.arange(kmax, dtype=jnp.int32)[None, :]
     rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
-    counts = proj.counts
+    ky, kx = _rect_divmod(k, rect_w[:, None])
+    tx_all = proj.rect[:, 0:1] + kx
+    ty_all = proj.rect[:, 1:2] + ky
+    valid_all = k < proj.counts[:, None]
+    if cfg.tile_culling:
+        valid_all &= _precise_tile_valid(
+            proj, jnp.arange(n, dtype=jnp.int32), tx_all, ty_all, cfg
+        )
+    counts = jnp.sum(valid_all, axis=1).astype(jnp.int32)  # culled counts
+    compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1)  # (N, kmax)
+
+    k0, d1, d2 = cfg.tier_spec
+    k1 = min(4 * k0, kmax)
+    tiers = [(0, min(k0, kmax), None)]
+    if kmax > k0:
+        tiers.append((k0, k1, max(n // d1, 1)))
+    if kmax > k1:
+        tiers.append((k1, kmax, max(n // d2, 1)))
+
     all_ids = jnp.arange(n, dtype=jnp.int32)
 
     tiles_l, depth_l, gid_l, valid_l = [], [], [], []
+    tier_shapes, tier_members = [], []
     pool_overflow = jnp.zeros((), bool)
     for k_lo, k_hi, budget in tiers:
         if budget is None:
             ids = all_ids
+            tier_members.append(None)
         else:
             member = counts > k_lo
-            rank = jnp.cumsum(member) - 1
+            rank = (jnp.cumsum(member) - 1).astype(jnp.int32)
             pool_overflow = pool_overflow | (jnp.sum(member) > budget)
-            slot = jnp.where(member & (rank < budget), rank, budget)
+            member = member & (rank < budget)
+            slot = jnp.where(member, rank, budget)
             ids = jnp.full((budget + 1,), n, jnp.int32).at[slot].set(
                 all_ids, mode="drop"
             )[:budget]
-        k = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
+            tier_members.append((member, rank))
+        kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
         ids_c = jnp.clip(ids, 0, n - 1)
-        w = rect_w[ids_c][:, None]
-        tx = proj.rect[ids_c, 0:1] + k % w
-        ty = proj.rect[ids_c, 1:2] + k // w
+        # jnp.take + basic slice, NOT compact_k[ids_c, k_lo:k_hi]: the mixed
+        # advanced+slice form lowers to a pathological TPU gather (80x).
+        ck = jnp.take(compact_k, ids_c, axis=0)[:, k_lo:k_hi]  # (R, range)
+        cky, ckx = _rect_divmod(ck, jnp.take(rect_w, ids_c)[:, None])
+        tx = jnp.take(proj.rect[:, 0], ids_c)[:, None] + ckx
+        ty = jnp.take(proj.rect[:, 1], ids_c)[:, None] + cky
         tile = ty * cfg.tiles_x + tx
-        valid = (ids[:, None] < n) & (k < counts[ids_c][:, None])
+        valid = (ids[:, None] < n) & (kk < jnp.take(counts, ids_c)[:, None])
+        tier_shapes.append((tile.shape[0], k_hi - k_lo))
         tiles_l.append(tile.reshape(-1))
         depth_l.append(
-            jnp.broadcast_to(proj.depth[ids_c][:, None], tile.shape).reshape(-1)
+            jnp.broadcast_to(
+                jnp.take(proj.depth, ids_c)[:, None], tile.shape
+            ).reshape(-1)
         )
         gid_l.append(jnp.broadcast_to(ids_c[:, None], tile.shape).reshape(-1))
         valid_l.append(valid.reshape(-1))
@@ -183,6 +312,8 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
         jnp.concatenate(gid_l),
         jnp.concatenate(valid_l),
         pool_overflow,
+        tier_shapes,
+        tier_members,
     )
 
 
@@ -195,10 +326,15 @@ def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
     kmax = cfg.max_tiles_per_gaussian
     k = jnp.arange(kmax, dtype=jnp.int32)[None, :]            # (1, K)
     rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)[:, None]
-    tx = proj.rect[:, 0:1] + k % rect_w
-    ty = proj.rect[:, 1:2] + k // rect_w
+    ky, kx = _rect_divmod(k, rect_w)
+    tx = proj.rect[:, 0:1] + kx
+    ty = proj.rect[:, 1:2] + ky
     tile = ty * cfg.tiles_x + tx                              # (N, K)
     valid = k < proj.counts[:, None]                          # (N, K)
+    if cfg.tile_culling:
+        valid &= _precise_tile_valid(
+            proj, jnp.arange(n, dtype=jnp.int32), tx, ty, cfg
+        )
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile.shape)
     depth = jnp.broadcast_to(proj.depth[:, None], tile.shape)
     return tile, depth, gid, valid
@@ -224,10 +360,14 @@ def bin_gaussians(
     n_local = cfg.num_tiles if num_local_tiles is None else num_local_tiles
     sentinel = jnp.int32(n_local)
     if cfg.binning == "tiered":
-        tile, depth, gid, valid, pool_ovf = _tiered_candidates(proj, cfg)
+        tile, depth, gid, valid, pool_ovf, tier_shapes, tier_members = (
+            _tiered_candidates(proj, cfg)
+        )
     else:
         tile, depth, gid, valid = _candidate_tiles(proj, cfg)
         pool_ovf = jnp.zeros((), bool)
+        tier_shapes = [(tile.shape[0], tile.shape[1])]
+        tier_members = [None]
     if tile_start is not None:
         t0 = jnp.asarray(tile_start, jnp.int32)
         valid = valid & (tile >= t0) & (tile < t0 + n_local)
@@ -238,6 +378,38 @@ def bin_gaussians(
     tile_f = jnp.where(valid, tile, sentinel).reshape(-1)
     depth_f = jnp.where(valid, depth, jnp.inf).reshape(-1).astype(jnp.float32)
     gid_f = gid.reshape(-1)
+    valid_f = valid.reshape(-1)
+    m_c = valid_f.shape[0]
+    cand_f = jnp.arange(m_c, dtype=jnp.int32)
+
+    # Per-tier row window metadata for the sort-based gather backward: the
+    # surviving candidates of tier row r occupy the contiguous window
+    # [row_offsets[r], row_offsets[r] + row_counts[r]) of the stream's
+    # candidate-sorted present order (candidate ids are assigned in tier-
+    # major, row-major, k-major order, and the binning sort is stable).
+    tiers = []
+    base = 0
+    all_counts = []
+    for (r, k_range), mem in zip(tier_shapes, tier_members):
+        v = valid_f[base : base + r * k_range].reshape(r, k_range)
+        all_counts.append(jnp.sum(v, axis=1).astype(jnp.int32))
+        base += r * k_range
+    flat_counts = jnp.concatenate(all_counts)
+    flat_offsets = (jnp.cumsum(flat_counts) - flat_counts).astype(jnp.int32)
+    row_base = 0
+    for (r, k_range), mem, counts_t in zip(tier_shapes, tier_members, all_counts):
+        tiers.append(
+            TierMeta(
+                member=None if mem is None else mem[0],
+                rank=None if mem is None else mem[1],
+                row_counts=counts_t,
+                row_offsets=jax.lax.dynamic_slice_in_dim(
+                    flat_offsets, row_base, r
+                ),
+                k_range=k_range,
+            )
+        )
+        row_base += r
 
     if cfg.binning in ("packed", "tiered"):
         # Single-u32-key sort: key = tile << depth_bits | depth_q. Depth is
@@ -249,34 +421,43 @@ def bin_gaussians(
         depth_bits = depth_bits_for(n_local)
         key = pack_tile_depth_key(tile, depth, n_local)
         key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        s_key, s_gid = jax.lax.sort_key_val(key, gid.reshape(-1))
+        s_key, s_gid, s_cand = jax.lax.sort(
+            (key, gid.reshape(-1), cand_f), num_keys=1
+        )
         if s_key.shape[0] >= max_i:
             s_key = s_key[:max_i]
             s_gid = s_gid[:max_i]
+            s_cand = s_cand[:max_i]
         else:
             pad = max_i - s_key.shape[0]
             s_key = jnp.concatenate(
                 [s_key, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)]
             )
             s_gid = jnp.concatenate([s_gid, jnp.zeros((pad,), jnp.int32)])
+            s_cand = jnp.concatenate([s_cand, jnp.full((pad,), -1, jnp.int32)])
         s_tile = jnp.minimum(
             jax.lax.shift_right_logical(s_key, jnp.uint32(depth_bits)),
             jnp.uint32(n_local),
         ).astype(jnp.int32)
+        # Invalid candidates share the sentinel key; mark them out.
+        s_cand = jnp.where(s_tile < n_local, s_cand, -1)
     elif cfg.binning == "sort":
         # Sentinel-keyed entries sort to the back; valid prefix is ordered by
         # (tile, depth). Depth is a stop-gradient sort key by construction
         # (int/float values only flow through ordering, not arithmetic).
-        s_tile, _, s_gid = jax.lax.sort(
-            (tile_f, jax.lax.stop_gradient(depth_f), gid_f), num_keys=2
+        s_tile, _, s_gid, s_cand = jax.lax.sort(
+            (tile_f, jax.lax.stop_gradient(depth_f), gid_f, cand_f), num_keys=2
         )
         if s_tile.shape[0] >= max_i:
             s_tile = s_tile[:max_i]
             s_gid = s_gid[:max_i]
+            s_cand = s_cand[:max_i]
         else:
             pad = max_i - s_tile.shape[0]
             s_tile = jnp.concatenate([s_tile, jnp.full((pad,), sentinel, jnp.int32)])
             s_gid = jnp.concatenate([s_gid, jnp.zeros((pad,), jnp.int32)])
+            s_cand = jnp.concatenate([s_cand, jnp.full((pad,), -1, jnp.int32)])
+        s_cand = jnp.where(s_tile < n_local, s_cand, -1)
     else:  # 'scatter'
         counts = jnp.sum(valid, axis=1).astype(jnp.int32)
         offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)  # exclusive
@@ -297,6 +478,8 @@ def bin_gaussians(
         s_tile, _, s_gid = jax.lax.sort(
             (tile_buf, jax.lax.stop_gradient(depth_buf), gid_buf), num_keys=2
         )
+        s_cand = None
+        tiers = []
 
     # Range compaction: one searchsorted replaces the reference's
     # compute_ranges kernel (and fixes its 0xFFFFFFFE/0xFFFFFFFF sentinel
@@ -309,9 +492,14 @@ def bin_gaussians(
         cfg.pallas_block_size if cfg.impl == "pallas" else 1
     )
     if align > 1:
-        s_tile, s_gid, ranges, total_padded = _align_stream(
-            s_tile, s_gid, ranges, max_i, n_local, align
-        )
+        if s_cand is None:
+            s_tile, s_gid, ranges, total_padded = _align_stream(
+                s_tile, s_gid, ranges, max_i, n_local, align
+            )
+        else:
+            s_tile, s_gid, ranges, total_padded, s_cand = _align_stream(
+                s_tile, s_gid, ranges, max_i, n_local, align, s_cand
+            )
         overflow = overflow | (total_padded > max_i)
 
     return BinnedGaussians(
@@ -320,6 +508,8 @@ def bin_gaussians(
         ranges=jax.lax.stop_gradient(ranges),
         num_intersections=total,
         overflow=overflow,
+        sorted_cand=None if s_cand is None else jax.lax.stop_gradient(s_cand),
+        tiers=tuple(tiers),
     )
 
 
@@ -352,7 +542,69 @@ def gather_features(
         ],
         axis=0,
     ).astype(jnp.float32)  # (F, N)
-    # Padding slots use gid -1; jnp.take's fill mode only fills for indices
-    # >= n (negatives wrap), so remap -1 to n first.
-    gid = jnp.where(binned.sorted_gid < 0, feats.shape[1], binned.sorted_gid)
-    return jnp.take(feats, gid, axis=1, mode="fill", fill_value=0.0)
+    if binned.sorted_cand is None:
+        # 'scatter' binning: plain differentiable gather (autodiff transpose
+        # is an XLA scatter-add -- slow on TPU, but this mode is not the
+        # production path).
+        gid = jnp.where(binned.sorted_gid < 0, feats.shape[1], binned.sorted_gid)
+        return jnp.take(feats, gid, axis=1, mode="fill", fill_value=0.0)
+    return _gather_slots(
+        feats.shape[1], feats, binned.sorted_gid, binned.sorted_cand,
+        binned.tiers,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_slots(n: int, feats, gid, cand, tiers):
+    """Gather per-Gaussian features into slot order with a sort-based VJP.
+
+    The autodiff transpose of this gather is a scatter-add of max_I rows into
+    N -- measured at ~2.7 s for 33M rows on a v5e chip (XLA TPU scatter
+    serializes). The hand-written backward uses only sorts, gathers and dense
+    reductions (all fast on TPU):
+      1. sort the slot indices by candidate id -> the present candidates'
+         gradients in candidate order,
+      2. per tier, gather each row's contiguous window (offsets/counts were
+         recorded by bin_gaussians from the pre-sort valid mask) and reduce
+         over the window -> per-row gradient,
+      3. rows ARE Gaussians for dense tiers; pool tiers map rows back through
+         the (member, rank) compaction -- a gather, not a scatter.
+    Requires every valid candidate to be present in the stream, which holds
+    whenever the overflow flag is clear."""
+    g = jnp.where(gid < 0, n, gid)
+    return jnp.take(feats, g, axis=1, mode="fill", fill_value=0.0)
+
+
+def _gather_slots_fwd(n: int, feats, gid, cand, tiers):
+    out = _gather_slots(n, feats, gid, cand, tiers)
+    return out, (cand, tiers)
+
+
+def _gather_slots_bwd(n: int, res, dslot):
+    cand, tiers = res
+    f = dslot.shape[0]
+    m_i = cand.shape[0]
+    key = jnp.where(cand >= 0, cand, jnp.int32(2**31 - 1))
+    _, slots_by_cand = jax.lax.sort_key_val(
+        key, jnp.arange(m_i, dtype=jnp.int32)
+    )
+    dsorted = jnp.take(dslot, slots_by_cand, axis=1)  # (F, m_i), cand order
+    dgauss = jnp.zeros((f, n), dslot.dtype)
+    for t in tiers:
+        r = t.row_counts.shape[0]
+        j = jnp.arange(t.k_range, dtype=jnp.int32)[None, :]
+        idx = t.row_offsets[:, None] + j
+        idx = jnp.where(j < t.row_counts[:, None], idx, m_i)
+        dtier = jnp.take(
+            dsorted, idx.reshape(-1), axis=1, mode="fill", fill_value=0.0
+        )
+        drow = dtier.reshape(f, r, t.k_range).sum(-1)  # (F, R)
+        if t.rank is None:
+            dgauss = dgauss + drow
+        else:
+            picked = jnp.take(drow, jnp.clip(t.rank, 0, r - 1), axis=1)
+            dgauss = dgauss + jnp.where(t.member[None, :], picked, 0.0)
+    return dgauss, None, None, None
+
+
+_gather_slots.defvjp(_gather_slots_fwd, _gather_slots_bwd)

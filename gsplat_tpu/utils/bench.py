@@ -32,6 +32,8 @@ def run_bench(
     ply: str | None = None,
     seed: int = 0,
     target_its: float = 30.0,
+    binning: str = "sort",
+    pallas_block_size: int = 256,
 ) -> dict:
     cfg = RenderConfig(
         width=width,
@@ -41,6 +43,8 @@ def run_bench(
         block_size=block_size,
         max_per_tile=max_per_tile,
         impl=impl,
+        binning=binning,
+        pallas_block_size=pallas_block_size,
     )
     if ply:
         from gsplat_tpu.io.ply import load_ply

@@ -11,7 +11,9 @@ from gsplat_tpu.ops.projection import project_gaussians
 
 
 def _bin(cfg, scene, cam, mode):
-    cfg = dataclasses.replace(cfg, binning=mode)
+    # The numpy oracle below models the pure rect walk, so the exact
+    # ellipse-tile culling (tested separately for image-invariance) is off.
+    cfg = dataclasses.replace(cfg, binning=mode, tile_culling=False)
     proj = project_gaussians(scene, cam, cfg)
     return proj, bin_gaussians(proj, cfg), cfg
 
@@ -152,3 +154,61 @@ def test_gather_features_shape(small_cfg, small_scene, small_camera):
         np.asarray(proj.uv)[gid, 0] * cfg.width,
         rtol=1e-5,
     )
+
+
+def test_precise_tile_culling_is_image_invariant():
+    """Culled candidates are exactly those the blend's alpha_min skip would
+    zero anyway, so the image and gradients must be bit-comparable while the
+    intersection count shrinks."""
+    import dataclasses
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene, render
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg_off = RenderConfig(
+        width=64, height=64, tile_size=8, max_intersections=1 << 14,
+        max_tiles_per_gaussian=64, block_size=8, max_per_tile=512,
+        binning="packed", tile_culling=False,
+    )
+    cfg_on = dataclasses.replace(cfg_off, tile_culling=True)
+    scene = random_scene(jax.random.key(7), 300, sh_degree=2)
+    cam = Camera.default(64, 64)
+
+    out_off = render(scene, cam, cfg_off)
+    out_on = render(scene, cam, cfg_on)
+    assert int(out_on.num_intersections) < int(out_off.num_intersections)
+    np.testing.assert_allclose(
+        np.asarray(out_on.image), np.asarray(out_off.image), rtol=1e-5, atol=1e-6
+    )
+
+    target = jnp.zeros((64, 64, 3))
+    g_on = jax.grad(lambda s: render_loss(s, cam, target, cfg_on))(scene)
+    g_off = jax.grad(lambda s: render_loss(s, cam, target, cfg_off))(scene)
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["packed", "tiered", "sort"])
+def test_sort_based_gather_backward_matches_autodiff(mode):
+    """The custom sort+gather VJP of the slot gather must reproduce the
+    autodiff (scatter-add) gradients exactly -- compared via the 'scatter'
+    binning mode, whose gather keeps the plain autodiff transpose."""
+    from gsplat_tpu import Camera, RenderConfig, random_scene
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg = RenderConfig(
+        width=64, height=64, tile_size=8, max_intersections=1 << 14,
+        max_tiles_per_gaussian=64, block_size=8, max_per_tile=512,
+        binning=mode,
+    )
+    cfg_ref = dataclasses.replace(cfg, binning="scatter")
+    scene = random_scene(jax.random.key(11), 250, sh_degree=2)
+    cam = Camera.default(64, 64)
+    target = jax.random.uniform(jax.random.key(12), (64, 64, 3))
+
+    g = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    g_ref = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_ref)))(scene)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )

@@ -87,10 +87,10 @@ class RenderConfig:
     pallas_block_size: int = 256
     # Run Pallas kernels in interpreter mode (CPU debugging / CI).
     pallas_interpret: bool = False
-    # Per-tile segment alignment of the sorted stream. 0 = auto
-    # (pallas_block_size when impl == 'pallas', else unaligned). Alignment
-    # makes every blend DMA offset tiling-aligned and the backward kernel's
-    # slot-gradient writes tile-exclusive.
+    # Optional per-tile segment alignment of the sorted stream (0/1 = off).
+    # The Pallas kernels handle unaligned segments natively (two-sided
+    # in-range masks; block-0 read-modify-write in the backward), so this is
+    # a debug/experiment knob only -- it pads the stream ~10-25%.
     stream_align: int = 0
 
     # ---- derived (static) ----

@@ -488,9 +488,9 @@ def bin_gaussians(
         s_tile, jnp.arange(n_local + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    align = cfg.stream_align or (
-        cfg.pallas_block_size if cfg.impl == "pallas" else 1
-    )
+    # The Pallas kernels handle unaligned segments natively (block-0 RMW in
+    # the backward), so alignment is opt-in (debug / experiments) only.
+    align = cfg.stream_align or 1
     if align > 1:
         if s_cand is None:
             s_tile, s_gid, ranges, total_padded = _align_stream(
@@ -580,25 +580,66 @@ def _gather_slots_fwd(n: int, feats, gid, cand, tiers):
     return out, (cand, tiers)
 
 
+def _rows_from_cand(s_cand, tiers):
+    """Global tier-row index per candidate-sorted position (monotone);
+    positions outside every tier (sentinel cands) get a huge sentinel row.
+    Pure arithmetic: tier by range test, row by the exact f32-division
+    trick (tier sizes stay < 2^24 so the float quotient is exact)."""
+    rows = jnp.full_like(s_cand, jnp.int32(2**30))
+    cand_base = 0
+    row_base = 0
+    for t in tiers:
+        r = t.row_counts.shape[0]
+        size = r * t.k_range
+        if size >= 1 << 24:
+            raise ValueError("tier too large for exact f32 row division")
+        local = s_cand - cand_base
+        q = jnp.floor(
+            (local.astype(jnp.float32) + 0.5) / float(t.k_range)
+        ).astype(jnp.int32)
+        inside = (s_cand >= cand_base) & (s_cand < cand_base + size)
+        rows = jnp.where(inside, row_base + q, rows)
+        cand_base += size
+        row_base += r
+    return rows
+
+
 def _gather_slots_bwd(n: int, res, dslot):
+    """Slot gradients -> per-Gaussian gradients without any scatter.
+
+    XLA's TPU gather costs ~20 ns/element on HBM-resident sources, so the
+    previous per-tier window gathers (sum of R_t x k_range lanes) dominated
+    the whole backward. Instead: rows are MONOTONE in candidate-sorted
+    order and row segments are short (<= k_range), so a segmented
+    suffix-sum by doubling -- ceil(log2 k_range) elementwise shift+add
+    passes, each a contiguous bandwidth-bound op -- leaves every row's full
+    sum at its first position; one gather at row_offsets per tier reads it
+    out. Exact (pairwise partial sums stay within one row)."""
     cand, tiers = res
     f = dslot.shape[0]
     m_i = cand.shape[0]
     key = jnp.where(cand >= 0, cand, jnp.int32(2**31 - 1))
-    _, slots_by_cand = jax.lax.sort_key_val(
+    s_cand, slots_by_cand = jax.lax.sort_key_val(
         key, jnp.arange(m_i, dtype=jnp.int32)
     )
-    dsorted = jnp.take(dslot, slots_by_cand, axis=1)  # (F, m_i), cand order
+    x = jnp.take(dslot, slots_by_cand, axis=1)  # (F, m_i), cand order
+    rows = _rows_from_cand(s_cand, tiers)
+
+    l_max = max((t.k_range for t in tiers), default=1)
+    s = 1
+    while s < l_max:
+        rows_sh = jnp.concatenate([rows[s:], jnp.full((s,), -1, rows.dtype)])
+        same = (rows_sh == rows)[None, :].astype(x.dtype)
+        x_sh = jnp.concatenate([x[:, s:], jnp.zeros((f, s), x.dtype)], axis=1)
+        x = x + x_sh * same
+        s <<= 1
+
     dgauss = jnp.zeros((f, n), dslot.dtype)
     for t in tiers:
         r = t.row_counts.shape[0]
-        j = jnp.arange(t.k_range, dtype=jnp.int32)[None, :]
-        idx = t.row_offsets[:, None] + j
-        idx = jnp.where(j < t.row_counts[:, None], idx, m_i)
-        dtier = jnp.take(
-            dsorted, idx.reshape(-1), axis=1, mode="fill", fill_value=0.0
-        )
-        drow = dtier.reshape(f, r, t.k_range).sum(-1)  # (F, R)
+        offs = jnp.clip(t.row_offsets, 0, m_i - 1)
+        drow = jnp.take(x, offs, axis=1)  # (F, R): row sum at row start
+        drow = drow * (t.row_counts > 0)[None, :].astype(drow.dtype)
         if t.rank is None:
             dgauss = dgauss + drow
         else:

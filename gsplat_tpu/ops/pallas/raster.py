@@ -22,11 +22,14 @@ the hardware:
 The backward kernel re-walks each tile's span in FORWARD order, recomputing
 the forward quantities and using the suffix-sum identity (see ops/blend.py)
 to avoid storing any per-Gaussian state; per-slot gradients are DMA'd to a
-(NUM_FEATURES, max_I) buffer which the caller scatter-adds back to Gaussians
-via the (differentiable) gather's transpose. Each sorted slot belongs to
-exactly one tile, so slot-gradient writes are race-free by construction --
-the TPU analogue of the CUDA backward's atomic adds is simply "no atomics
-needed".
+(NUM_FEATURES, max_I) buffer which the caller reduces back to Gaussians with
+the sort-based VJP in ops/binning.py (_gather_slots). Tile segments are NOT
+block-aligned: each tile's blocks start at the aligned floor of its segment,
+out-of-segment lanes are masked (zero gradient), and the one block a tile
+may share with its predecessor is combined with a synchronous
+read-modify-write -- race-free because the 'arbitrary' grid dimension
+executes sequentially on the TensorCore. The TPU analogue of the CUDA
+backward's atomic adds is "no atomics needed".
 """
 
 from __future__ import annotations
@@ -77,7 +80,11 @@ def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: Re
     t = pl.program_id(0)
     start = ranges_ref[t]
     end = ranges_ref[t + 1]
-    nb = pl.cdiv(end - start, g)
+    # Segments are NOT block-aligned; blocks start at the aligned floor of
+    # `start` (so every DMA offset is g-aligned for Mosaic) and a two-sided
+    # in_range mask drops the head/tail lanes belonging to neighbor tiles.
+    base = (start // g) * g
+    nb = jnp.where(end > start, pl.cdiv(end - base, g), 0)
 
     px, py = _pixel_coords(cfg, t + offset_ref[0])
     tri = make_triangular(g)
@@ -87,8 +94,7 @@ def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: Re
     out_ref[0, :, :] = jnp.zeros((OUT_ROWS, p), jnp.float32)
 
     def dma(slot, i):
-        # Stream segments are g-aligned by binning; tell Mosaic so.
-        off = pl.multiple_of(start + i * g, g)
+        off = pl.multiple_of(base + i * g, g)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(off, g)],
             buf.at[slot],
@@ -113,7 +119,8 @@ def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: Re
 
         dma(slot, i).wait()
         feat = buf[slot]  # (NUM_FEATURES, g)
-        in_range = (start + i * g + lane) < end
+        idx = base + i * g + lane
+        in_range = (idx >= start) & (idx < end)
         carry = BlendCarry(color=out_ref[0, 0:3, :], trans=trans, done=done)
         carry = blend_block(carry, feat, px, py, in_range, cfg, cumsum_fn=cumsum)
         out_ref[0, 0:3, :] = carry.color
@@ -138,14 +145,21 @@ def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: Re
 
 def _bwd_kernel(
     ranges_ref, offset_ref, g_tile_ref, feat_hbm, _dzero, dfeat_hbm,
-    buf, dbuf, sems, osems, *, cfg: RenderConfig,
+    buf, dbuf, rbuf, sems, osems, rsem, *, cfg: RenderConfig,
 ):
     g = cfg.pallas_block_size
     p = cfg.pixels_per_tile
     t = pl.program_id(0)
     start = ranges_ref[t]
     end = ranges_ref[t + 1]
-    nb = pl.cdiv(end - start, g)
+    # Unaligned segments: this tile's FIRST block may share a g-block with
+    # the previous tile's last block (whose overhang lanes it wrote as
+    # zeros). Block 0 is therefore a synchronous read-modify-write -- safe
+    # because grid dimension 'arbitrary' executes sequentially on the core,
+    # so the previous tile's write completed before this tile's read. All
+    # later blocks are exclusively this tile's and stay fully pipelined.
+    base = (start // g) * g
+    nb = jnp.where(end > start, pl.cdiv(end - base, g), 0)
 
     px, py = _pixel_coords(cfg, t + offset_ref[0])
     tri = make_triangular(g)
@@ -156,17 +170,23 @@ def _bwd_kernel(
     b_total = g_tile_ref[0, 3:4, :].reshape(p, 1)
 
     def dma_in(slot, i):
-        off = pl.multiple_of(start + i * g, g)
+        off = pl.multiple_of(base + i * g, g)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(off, g)], buf.at[slot], sems.at[slot]
         )
 
     def dma_out(slot, i):
-        off = pl.multiple_of(start + i * g, g)
+        off = pl.multiple_of(base + i * g, g)
         return pltpu.make_async_copy(
             dbuf.at[slot],
             dfeat_hbm.at[:, pl.ds(off, g)],
             osems.at[slot],
+        )
+
+    def dma_read_out(i):
+        off = pl.multiple_of(base + i * g, g)
+        return pltpu.make_async_copy(
+            dfeat_hbm.at[:, pl.ds(off, g)], rbuf, rsem
         )
 
     @pl.when(nb > 0)
@@ -187,13 +207,15 @@ def _bwd_kernel(
 
         dma_in(slot, i).wait()
         # Before overwriting this slot's output staging buffer, drain its
-        # previous outbound DMA (issued two iterations ago).
-        @pl.when(i >= 2)
+        # previous outbound DMA. Block 0's write is synchronous (waited in
+        # its own iteration), so only blocks >= 1 are ever outstanding.
+        @pl.when(i >= 3)
         def _():
             dma_out(slot, i - 2).wait()
 
         feat = buf[slot]
-        in_range = (start + i * g + lane) < end
+        idx = base + i * g + lane
+        in_range = (idx >= start) & (idx < end)
         carry = BlendCarry(color=jnp.zeros((3, p), jnp.float32), trans=trans, done=done)
         dfeat, carry, accum_b = blend_block_bwd(
             carry, feat, px, py, in_range, g_color, b_total, accum_b, cfg,
@@ -203,7 +225,22 @@ def _bwd_kernel(
             [dfeat, jnp.zeros((PADDED_FEATURES - NUM_FEATURES, g), jnp.float32)],
             axis=0,
         )
-        dma_out(slot, i).start()
+
+        @pl.when(i == 0)
+        def _():
+            # RMW: fold in the previous tile's overhang contribution.
+            rd = dma_read_out(0)
+            rd.start()
+            rd.wait()
+            dbuf[slot] = dbuf[slot] + rbuf[...]
+            wr = dma_out(slot, 0)
+            wr.start()
+            wr.wait()
+
+        @pl.when(i > 0)
+        def _():
+            dma_out(slot, i).start()
+
         return i + 1, carry.trans, carry.done, accum_b
 
     init = (
@@ -214,16 +251,17 @@ def _bwd_kernel(
     )
     final_i, _, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # Drain the early-exit inbound prefetch and outstanding output DMAs.
+    # Drain the early-exit inbound prefetch and outstanding output DMAs
+    # (block 0's write was synchronous; only blocks >= 1 are in flight).
     @pl.when(final_i < nb)
     def _():
         dma_in(jax.lax.rem(final_i, 2), final_i).wait()
 
-    @pl.when(final_i >= 2)
+    @pl.when(final_i >= 3)
     def _():
         dma_out(jax.lax.rem(final_i, 2), final_i - 2).wait()
 
-    @pl.when(final_i >= 1)
+    @pl.when(final_i >= 2)
     def _():
         dma_out(jax.lax.rem(final_i - 1, 2), final_i - 1).wait()
 
@@ -285,8 +323,10 @@ def _bwd_pallas_call(features, ranges, offset, g_tile, num_tiles, cfg: RenderCon
         scratch_shapes=[
             pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
             pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
+            pltpu.VMEM((PADDED_FEATURES, g), jnp.float32),  # block-0 RMW
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     dfeat = pl.pallas_call(

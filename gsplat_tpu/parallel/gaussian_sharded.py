@@ -147,9 +147,7 @@ def render_gaussian_sharded(
         binning="tiered" if cfg.binning == "tiered" else "packed",
         stream_align=1,
     )
-    align = cfg.stream_align or (
-        cfg.pallas_block_size if cfg.impl == "pallas" else 1
-    )
+    align = cfg.stream_align or 1
 
     def shard_fn(scene, camera):
         idx = jax.lax.axis_index(axis_name)

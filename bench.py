@@ -29,7 +29,7 @@ def main():
             mode="fwd_bwd",
             iters=10,
             tile_size=16,
-            max_intersections=1 << 23,
+            max_intersections=11_000_000,
             block_size=32,
             max_per_tile=8192,
             binning="tiered",

@@ -125,9 +125,27 @@ def cmd_info(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    """The reference's perf surface is per-pass console timing in a browser
+    (reference: src/renderer.ts:395-590); here: a reproducible bench plus
+    optional on-device profiler traces (--profile DIR, view with
+    tensorboard/xprof)."""
+    import contextlib
+
     from gsplat_tpu.utils.bench import run_bench
 
-    result = run_bench(
+    trace_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        trace_ctx = jax.profiler.trace(args.profile)
+    with trace_ctx:
+        result = _run_bench_args(args, run_bench)
+    print(json.dumps(result))
+    return 0
+
+
+def _run_bench_args(args, run_bench):
+    return run_bench(
         num_gaussians=args.synthetic_n,
         width=args.width,
         height=args.height,
@@ -138,9 +156,8 @@ def cmd_bench(args) -> int:
         max_intersections=args.max_intersections,
         block_size=args.block_size,
         ply=None if args.ply == "synthetic" else args.ply,
+        binning=args.binning,
     )
-    print(json.dumps(result))
-    return 0
 
 
 def cmd_train(args) -> int:
@@ -179,6 +196,8 @@ def main(argv=None) -> int:
     p.add_argument("--mode", default="fwd_bwd", choices=["fwd", "fwd_bwd"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR (xprof/tensorboard)")
     _common_flags(p)
     p.set_defaults(fn=cmd_bench)
 
@@ -193,6 +212,13 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--resume", help="checkpoint path to resume from")
+    p.add_argument("--densify-every", type=int, default=0,
+                   help="adaptive density control interval (0 = off); the "
+                        "scene is padded to --capacity")
+    p.add_argument("--capacity", type=int, default=0,
+                   help="static Gaussian capacity for densification "
+                        "(default 2x the initial count)")
+    p.add_argument("--densify-grad-threshold", type=float, default=2e-4)
     _common_flags(p)
     p.set_defaults(fn=cmd_train)
 

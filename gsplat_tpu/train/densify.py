@@ -1,0 +1,185 @@
+"""Adaptive density control (densify / prune) on a STATIC capacity.
+
+The reference is a forward-only viewer with a fixed Gaussian count
+(reference: src/ply.ts -- the scene is immutable after load); real 3DGS
+training grows and shrinks the scene (Kerbl et al. 2023, section 5.2:
+clone small under-reconstructed Gaussians, split large ones, prune
+transparent ones). TPU-native constraint: jit demands static shapes, so the
+scene lives in a fixed-capacity buffer (GaussianScene.pad_to) where dead
+slots are fully transparent (opacity logit -30) and never contribute to the
+image or gradients. Densification then becomes a masked slot-allocation
+problem -- the same cumsum-rank compaction the tiered binning uses, no
+dynamic shapes, no host round-trips.
+
+Design:
+  - a DensifyState accumulates per-Gaussian mean-gradient norms between
+    densification rounds (the standard trigger signal; we use the world-
+    space mean gradient, a documented divergence from the CUDA original's
+    screen-space one -- same fixed points up to projection scale).
+  - densify_and_prune(): one jitted call that
+      prune:  opacity < min_opacity -> slot freed,
+      split:  trigger & max scale > split_size -> two children at scale/1.6,
+              displaced +/- along the major axis; parent slot freed,
+      clone:  trigger & max scale <= split_size -> copy nudged by the
+              accumulated gradient direction,
+    writing children into freed + padding slots by rank matching. If there
+    are more children than free slots, the lowest-priority children are
+    dropped and the `saturated` flag is set (the static-capacity analogue of
+    the reference's dynamic realloc being impossible under jit).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gsplat_tpu.models.gaussians import GaussianScene
+
+DEAD_OPACITY_LOGIT = -30.0
+DEAD_LOG_SCALE = -10.0
+
+
+@struct.dataclass
+class DensifyState:
+    grad_accum: jnp.ndarray   # (C,) accumulated ||dL/dmean|| over the window
+    count: jnp.ndarray        # () int32 steps accumulated
+
+
+def init_densify_state(capacity: int) -> DensifyState:
+    return DensifyState(
+        grad_accum=jnp.zeros((capacity,), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def accumulate_grads(state: DensifyState, mean_grads: jnp.ndarray) -> DensifyState:
+    """Add this step's per-Gaussian mean-gradient norms to the window."""
+    return DensifyState(
+        grad_accum=state.grad_accum + jnp.linalg.norm(mean_grads, axis=-1),
+        count=state.count + 1,
+    )
+
+
+def alive_mask(scene: GaussianScene, min_opacity: float = 1.0 / 255.0) -> jnp.ndarray:
+    return jax.nn.sigmoid(scene.opacity_logits) >= min_opacity
+
+
+def densify_and_prune(
+    scene: GaussianScene,
+    state: DensifyState,
+    grad_threshold: float = 2e-4,
+    split_size: float = 0.01,
+    min_opacity: float = 1.0 / 255.0,
+    split_scale_down: float = 1.6,
+):
+    """One densification round. Returns (scene, fresh_state, stats dict).
+
+    All shapes static (capacity C preserved); fully jittable.
+    """
+    c = scene.num_gaussians
+    avg_grad = state.grad_accum / jnp.maximum(state.count, 1).astype(jnp.float32)
+    alive = alive_mask(scene, min_opacity)
+    max_scale = jnp.exp(jnp.max(scene.log_scales, axis=-1))
+
+    trigger = alive & (avg_grad > grad_threshold)
+    split = trigger & (max_scale > split_size)
+    clone = trigger & ~split
+
+    # --- children: 2 per split + 1 per clone ----------------------------
+    # (child specs read the ORIGINAL scene; the kill pass comes after)
+    # Child spec arrays are (C, 2): column j is the j-th child of slot i.
+    rot = _quat_rotmat(scene.quats)  # normalized inside
+    major_axis = jnp.take_along_axis(
+        jnp.swapaxes(rot, -1, -2),  # rows = principal axes
+        jnp.argmax(scene.log_scales, axis=-1)[:, None, None].repeat(3, -1),
+        axis=-2,
+    )[:, 0, :]  # (C, 3)
+    sigma = max_scale
+    offset = major_axis * sigma[:, None]
+
+    want = jnp.stack([split | clone, split], axis=1)          # (C, 2)
+    # Split children sit at +/- one sigma along the major axis; a clone's
+    # child is nudged a small fraction of sigma so the twins decorrelate.
+    child_means = jnp.stack(
+        [
+            jnp.where(
+                split[:, None], scene.means + offset, scene.means + 0.01 * offset
+            ),
+            scene.means - offset,
+        ],
+        axis=1,
+    )  # (C, 2, 3)
+    child_ls = jnp.where(
+        split[:, None, None],
+        scene.log_scales[:, None, :] - jnp.log(split_scale_down),
+        scene.log_scales[:, None, :],
+    ).repeat(2, axis=1)
+
+    # --- prune + free split parents -------------------------------------
+    keep = alive & ~split
+    dead = ~keep
+
+    def kill(x, fill, mask):
+        shape = (c,) + (1,) * (x.ndim - 1)
+        return jnp.where(mask.reshape(shape), fill, x)
+
+    killed = GaussianScene(
+        means=kill(scene.means, 0.0, dead),
+        log_scales=kill(scene.log_scales, DEAD_LOG_SCALE, dead),
+        quats=kill(scene.quats, 0.0, dead).at[:, 0].set(
+            jnp.where(dead, 1.0, scene.quats[:, 0])
+        ),
+        opacity_logits=kill(scene.opacity_logits, DEAD_OPACITY_LOGIT, dead),
+        sh=kill(scene.sh, 0.0, dead),
+    )
+
+    # --- slot allocation: rank-match children to free slots -------------
+    free = dead
+    free_rank = jnp.cumsum(free) - 1                          # (C,)
+    num_free = jnp.sum(free)
+
+    child_flat = want.reshape(-1)                             # (2C,)
+    child_rank = jnp.cumsum(child_flat) - 1
+    num_children = jnp.sum(child_flat)
+    saturated = num_children > num_free
+
+    # slot_of_rank: r-th free slot's index (C entries, C sentinel-padded).
+    slot_of_rank = jnp.full((c + 1,), c, jnp.int32).at[
+        jnp.where(free, free_rank, c)
+    ].set(jnp.arange(c, dtype=jnp.int32), mode="drop")[:c]
+
+    dest = jnp.where(
+        child_flat & (child_rank < num_free),
+        jnp.take(slot_of_rank, jnp.clip(child_rank, 0, c - 1)),
+        c,
+    )  # (2C,) destination slot per child, c = dropped
+
+    def place(dst_arr, child_vals):
+        flat = child_vals.reshape((2 * c,) + child_vals.shape[2:])
+        return dst_arr.at[dest].set(flat, mode="drop")
+
+    new_scene = GaussianScene(
+        means=place(killed.means, child_means),
+        log_scales=place(killed.log_scales, child_ls),
+        quats=place(killed.quats, scene.quats[:, None, :].repeat(2, 1)),
+        opacity_logits=place(
+            killed.opacity_logits, scene.opacity_logits[:, None].repeat(2, 1)
+        ),
+        sh=place(killed.sh, scene.sh[:, None].repeat(2, 1)),
+    )
+
+    stats = dict(
+        num_alive=jnp.sum(alive_mask(new_scene, min_opacity)),
+        num_split=jnp.sum(split),
+        num_clone=jnp.sum(clone),
+        num_free_before=num_free,
+        saturated=saturated,
+    )
+    return new_scene, init_densify_state(c), stats
+
+
+def _quat_rotmat(quats):
+    from gsplat_tpu.ops.projection import quat_to_rotmat
+
+    return quat_to_rotmat(quats)

@@ -46,7 +46,7 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
         loss, grads = jax.value_and_grad(loss_fn)(state.scene, cameras, targets)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
-        return TrainState(scene, opt_state, state.step + 1), loss
+        return TrainState(scene, opt_state, state.step + 1), loss, grads.means
 
     return step
 
@@ -66,10 +66,25 @@ def fit(
     checkpoint_dir: str = "checkpoints",
     resume: str | None = None,
     on_metrics=None,
+    densify_every: int = 0,
+    densify_grad_threshold: float = 2e-4,
+    densify_until: int | None = None,
 ):
-    """Returns (trained scene, metrics list)."""
+    """Returns (trained scene, metrics list).
+
+    densify_every > 0 enables adaptive density control (train/densify.py):
+    the scene must carry free capacity (GaussianScene.pad_to); optimizer
+    moments are re-initialized after each densification round (slots moved).
+    """
+    from gsplat_tpu.train.densify import (
+        accumulate_grads, densify_and_prune, init_densify_state,
+    )
+
     optimizer = make_optimizer(lr)
     state = init_train_state(scene, optimizer)
+    dstate = init_densify_state(scene.num_gaussians)
+    densify_fn = jax.jit(functools.partial(
+        densify_and_prune, grad_threshold=densify_grad_threshold))
     if resume:
         state = load_checkpoint(resume, state)
         print(f"resumed from {resume} at step {int(state.step)}")
@@ -84,7 +99,17 @@ def fit(
         sel = rng.integers(0, num_views, size=batch)
         cams_b = jax.tree.map(lambda x: x[sel], cameras)
         targets_b = targets[sel]
-        state, loss = step_fn(state, cams_b, targets_b)
+        state, loss, mean_grads = step_fn(state, cams_b, targets_b)
+        if densify_every:
+            dstate = accumulate_grads(dstate, mean_grads)
+            until = densify_until if densify_until is not None else steps // 2
+            if (it + 1) % densify_every == 0 and it + 1 <= until:
+                new_scene, dstate, dstats = densify_fn(state.scene, dstate)
+                state = TrainState(
+                    new_scene, optimizer.init(new_scene), state.step
+                )
+                print({k: int(v) if k != "saturated" else bool(v)
+                       for k, v in dstats.items()} | {"densify_at": it + 1})
         if (it + 1) % log_every == 0 or it + 1 == steps:
             loss = float(loss)
             dt = time.time() - t_last
@@ -134,12 +159,17 @@ def train_from_cli(args) -> int:
     init = init.replace(
         means=init.means * radius / 2.5 + jnp.asarray(center, jnp.float32),
     )
+    if args.densify_every:
+        capacity = args.capacity or 2 * init.num_gaussians
+        init = init.pad_to(capacity)
     trained, _ = fit(
         init, cameras, targets, cfg,
         steps=args.steps, lr=args.lr, seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        densify_every=args.densify_every,
+        densify_grad_threshold=args.densify_grad_threshold,
     )
     final_psnr = float(
         psnr_fn(render(trained, cams[0], cfg).image, targets[0])

@@ -1,0 +1,115 @@
+"""Adaptive density control on static capacity: split/clone/prune semantics,
+slot allocation, saturation flag, and trainability of the result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.models.gaussians import GaussianScene, random_scene
+from gsplat_tpu.train.densify import (
+    DEAD_OPACITY_LOGIT,
+    accumulate_grads,
+    alive_mask,
+    densify_and_prune,
+    init_densify_state,
+)
+
+
+def _scene_with_capacity(n, cap, key=0):
+    return random_scene(jax.random.key(key), n, sh_degree=1).pad_to(cap)
+
+
+def test_prune_transparent():
+    scene = _scene_with_capacity(8, 16)
+    scene = scene.replace(
+        opacity_logits=scene.opacity_logits.at[0:2].set(-10.0)  # ~4.5e-5
+    )
+    state = init_densify_state(16)
+    out, _, stats = jax.jit(densify_and_prune)(scene, state)
+    assert int(stats["num_alive"]) == 6
+    assert float(out.opacity_logits[0]) == DEAD_OPACITY_LOGIT
+
+
+def test_split_and_clone():
+    cap = 32
+    scene = _scene_with_capacity(4, cap)
+    # Gaussian 0: big (split). Gaussian 1: small (clone). 2,3: quiet.
+    scene = scene.replace(
+        log_scales=scene.log_scales.at[0].set(jnp.log(0.05))
+        .at[1].set(jnp.log(0.001)),
+        opacity_logits=scene.opacity_logits.at[:4].set(2.0),
+    )
+    state = init_densify_state(cap)
+    grads = jnp.zeros((cap, 3)).at[0].set(1.0).at[1].set(1.0)
+    state = accumulate_grads(state, grads)
+
+    out, fresh, stats = jax.jit(densify_and_prune)(scene, state)
+    assert int(stats["num_split"]) == 1
+    assert int(stats["num_clone"]) == 1
+    assert not bool(stats["saturated"])
+    # split parent freed, 2 children born; clone parent kept, 1 child born.
+    assert int(stats["num_alive"]) == 4 - 1 + 3
+    assert int(fresh.count) == 0
+
+    # Exactly two split children at parent_scale / 1.6; one clone child at
+    # the clone parent's scale; split parent's original scale gone.
+    alive = np.asarray(alive_mask(out))
+    ls0 = np.asarray(out.log_scales)[alive][:, 0]
+    child_scale = np.log(0.05) - np.log(1.6)
+    assert (np.abs(ls0 - child_scale) < 1e-5).sum() == 2
+    assert (np.abs(ls0 - np.log(0.001)) < 1e-5).sum() == 2  # parent + child
+    assert (np.abs(ls0 - np.log(0.05)) < 1e-5).sum() == 0
+
+
+def test_saturation_flag():
+    cap = 4  # no free slots at all
+    scene = _scene_with_capacity(4, cap)
+    scene = scene.replace(opacity_logits=jnp.full((cap,), 2.0))
+    state = accumulate_grads(init_densify_state(cap), jnp.ones((cap, 3)))
+    out, _, stats = jax.jit(densify_and_prune)(scene, state)
+    assert bool(stats["saturated"])
+
+
+def test_densified_scene_still_renders_and_trains():
+    from gsplat_tpu import Camera, RenderConfig, render
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg = RenderConfig(width=32, height=32, tile_size=8,
+                       max_intersections=1 << 12, max_tiles_per_gaussian=16,
+                       block_size=8, max_per_tile=128)
+    cap = 64
+    scene = _scene_with_capacity(20, cap)
+    cam = Camera.default(32, 32)
+    state = accumulate_grads(
+        init_densify_state(cap),
+        jax.grad(lambda s: render_loss(
+            s, cam, jnp.zeros((32, 32, 3)), cfg))(scene).means,
+    )
+    out, _, stats = jax.jit(
+        lambda s, st: densify_and_prune(s, st, grad_threshold=0.0)
+    )(scene, state)
+    img = render(out, cam, cfg).image
+    assert np.isfinite(np.asarray(img)).all()
+    g = jax.grad(lambda s: render_loss(s, cam, jnp.zeros((32, 32, 3)), cfg))(out)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_fit_with_densification_reduces_loss():
+    from gsplat_tpu import Camera, RenderConfig, render
+    from gsplat_tpu.train.loop import fit
+
+    cfg = RenderConfig(width=32, height=32, tile_size=8,
+                       max_intersections=1 << 12, max_tiles_per_gaussian=16,
+                       block_size=8, max_per_tile=128)
+    target_scene = random_scene(jax.random.key(3), 30, sh_degree=1)
+    cam = Camera.default(32, 32)
+    cams = jax.tree.map(lambda x: x[None], cam)
+    targets = render(target_scene, cam, cfg).image[None]
+
+    init = random_scene(jax.random.key(4), 20, sh_degree=1).pad_to(64)
+    trained, metrics = fit(
+        init, cams, targets, cfg, steps=30, lr=5e-2, log_every=10,
+        densify_every=10, densify_grad_threshold=1e-5, densify_until=20,
+    )
+    assert trained.num_gaussians == 64  # capacity preserved
+    assert metrics[-1]["loss"] < metrics[0]["loss"]

@@ -62,6 +62,50 @@ from gsplat_tpu.ops.projection import project_gaussians
 from gsplat_tpu.parallel.sharding import local_tile_cfg
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _blocks_gather(td: int, cap: int, num_shards: int, feats, idx,
+                   sorted_tile, seg_start, seg_end):
+    """take(feats, idx) whose VJP is a GATHER, not a scatter: the slot of a
+    stream position p is reconstructed arithmetically (dest shard from the
+    sorted tile id, offset from the destination's segment start), so the
+    transpose never touches XLA's pathologically slow TPU scatter."""
+    return jnp.take(feats, idx, axis=1, mode="fill", fill_value=0.0)
+
+
+def _blocks_gather_fwd(td, cap, num_shards, feats, idx, sorted_tile,
+                       seg_start, seg_end):
+    out = _blocks_gather(td, cap, num_shards, feats, idx, sorted_tile,
+                         seg_start, seg_end)
+    return out, (feats.shape[1], sorted_tile, seg_start, seg_end)
+
+
+def _blocks_gather_bwd(td, cap, num_shards, res, dblocks):
+    max_i, sorted_tile, seg_start, seg_end = res
+    p = jnp.arange(max_i, dtype=jnp.int32)
+    # dest shard of stream position p from its (global-grid) tile id; the
+    # f32 division is exact for tile ids < 2^24.
+    dest = jnp.floor(
+        (sorted_tile.astype(jnp.float32) + 0.5) / float(td)
+    ).astype(jnp.int32)
+    destc = jnp.clip(dest, 0, num_shards - 1)
+    within = p - jnp.take(seg_start, destc)
+    slot = destc * cap + within
+    ok = (
+        (dest < num_shards)
+        & (within >= 0)
+        & (within < cap)
+        & (p < jnp.take(seg_end, destc))
+    )
+    picked = jnp.take(
+        dblocks, jnp.clip(slot, 0, dblocks.shape[1] - 1), axis=1
+    )
+    dfeats = jnp.where(ok[None, :], picked, 0.0)
+    return dfeats, None, None, None, None
+
+
+_blocks_gather.defvjp(_blocks_gather_fwd, _blocks_gather_bwd)
+
+
 def _fragment_blocks(proj, binned, cfg: RenderConfig, lcfg: RenderConfig,
                      num_shards: int, cap: int):
     """Re-space the globally-sorted local stream into D fixed-size
@@ -80,7 +124,10 @@ def _fragment_blocks(proj, binned, cfg: RenderConfig, lcfg: RenderConfig,
 
     feats = gather_features(proj, binned, cfg)                 # (F, max_I)
     idx = jnp.where(valid, src_pos, feats.shape[1])
-    feat_blocks = jnp.take(feats, idx, axis=1, mode="fill", fill_value=0.0)
+    feat_blocks = _blocks_gather(
+        td, cap, num_shards, feats, idx, binned.sorted_tile, seg_start,
+        seg_end,
+    )
     tile = jnp.take(
         binned.sorted_tile, jnp.minimum(src_pos, binned.sorted_tile.shape[0] - 1),
         axis=0,
@@ -90,10 +137,46 @@ def _fragment_blocks(proj, binned, cfg: RenderConfig, lcfg: RenderConfig,
     return feat_blocks, tile_blocks, depth_row, overflow
 
 
+@jax.custom_vjp
+def _perm_gather(recv_feats, gid, present):
+    """take(recv_feats, gid) for an injective slot permutation, with a
+    sort-based VJP: received slot r's gradient sits at rank(r) of the
+    final stream sorted by source slot id -- rank is a plain cumsum of the
+    present mask, so the transpose is sort + gather, never a scatter."""
+    m = recv_feats.shape[1]
+    return jnp.take(
+        recv_feats, jnp.where(gid < 0, m, gid), axis=1, mode="fill",
+        fill_value=0.0,
+    )
+
+
+def _perm_gather_fwd(recv_feats, gid, present):
+    return _perm_gather(recv_feats, gid, present), (gid, present)
+
+
+def _perm_gather_bwd(res, dout):
+    gid, present = res
+    m = present.shape[0]
+    key = jnp.where(gid >= 0, gid, jnp.int32(2**31 - 1))
+    _, pos = jax.lax.sort_key_val(
+        key, jnp.arange(gid.shape[0], dtype=jnp.int32)
+    )
+    dsorted = jnp.take(dout, pos, axis=1)  # columns ordered by recv slot id
+    rank = jnp.cumsum(present) - 1
+    picked = jnp.take(
+        dsorted, jnp.clip(rank, 0, dsorted.shape[1] - 1), axis=1
+    )
+    drecv = jnp.where(present[None, :], picked, 0.0)
+    return drecv, None, None
+
+
+_perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
+
+
 def _merge_received(recv_feats, recv_tile, recv_depth, lcfg: RenderConfig,
                     align: int):
-    """Merge D depth-sorted fragments into one per-tile depth-ordered,
-    `align`-aligned feature stream + ranges for the local tile rows."""
+    """Merge D depth-sorted fragments into one per-tile depth-ordered
+    feature stream + ranges for the local tile rows."""
     m = recv_tile.shape[0]
     td = lcfg.num_tiles
     depth_bits = depth_bits_for(td)
@@ -105,6 +188,7 @@ def _merge_received(recv_feats, recv_tile, recv_depth, lcfg: RenderConfig,
         jax.lax.shift_right_logical(s_key, jnp.uint32(depth_bits)),
         jnp.uint32(td),
     ).astype(jnp.int32)
+    s_perm = jnp.where(s_tile < td, s_perm, -1)
     ranges = jnp.searchsorted(
         s_tile, jnp.arange(td + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -115,8 +199,8 @@ def _merge_received(recv_feats, recv_tile, recv_depth, lcfg: RenderConfig,
             s_tile, s_perm, ranges, m, td, align
         )
         overflow = total_padded > m
-    gid = jnp.where(s_perm < 0, m, s_perm)
-    feats = jnp.take(recv_feats, gid, axis=1, mode="fill", fill_value=0.0)
+    present = recv_tile < td  # every valid received slot lands in the stream
+    feats = _perm_gather(recv_feats, s_perm, present)
     return feats, jax.lax.stop_gradient(ranges), overflow
 
 

@@ -108,3 +108,17 @@ def test_sharded_loss_matches_single_device():
     ref = render(scene, cam, CFG)
     ref_loss = float(jnp.mean(jnp.abs(ref.image - target)))
     assert abs(float(metrics["loss"]) - ref_loss) < 1e-5
+
+
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the multi-host helpers (the distributed
+    runtime itself needs real multi-host hardware; here: the degenerate
+    1-process contract)."""
+    from gsplat_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op without a coordinator
+    assert multihost.is_primary()
+    local, off = multihost.process_local_batch(4)
+    assert (local, off) == (4, 0)
+    mesh = multihost.global_mesh({"tiles": 8})
+    assert mesh.shape["tiles"] == 8

@@ -212,3 +212,19 @@ def test_sort_based_gather_backward_matches_autodiff(mode):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
         )
+
+
+def test_tiered_matches_sort_large_kmax(small_scene, small_camera):
+    """Three-tier structure with a k_range past 64 (kmax=96)."""
+    cfg = RenderConfig(
+        width=64, height=64, tile_size=8, max_intersections=1 << 14,
+        max_tiles_per_gaussian=96, block_size=8, max_per_tile=512,
+        tile_culling=False,
+    )
+    proj = project_gaussians(small_scene, small_camera, cfg)
+    b_sort = bin_gaussians(proj, dataclasses.replace(cfg, binning="sort"))
+    b_tier = bin_gaussians(proj, dataclasses.replace(cfg, binning="tiered"))
+    assert int(b_tier.num_intersections) == int(b_sort.num_intersections)
+    np.testing.assert_array_equal(
+        np.asarray(b_sort.ranges), np.asarray(b_tier.ranges)
+    )

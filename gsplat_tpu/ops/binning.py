@@ -583,20 +583,17 @@ def _gather_slots_fwd(n: int, feats, gid, cand, tiers):
 def _rows_from_cand(s_cand, tiers):
     """Global tier-row index per candidate-sorted position (monotone);
     positions outside every tier (sentinel cands) get a huge sentinel row.
-    Pure arithmetic: tier by range test, row by the exact f32-division
-    trick (tier sizes stay < 2^24 so the float quotient is exact)."""
+    Pure arithmetic: tier by range test, row by integer division with a
+    STATIC divisor (XLA strength-reduces it; measured free on flat i32
+    arrays -- only broadcast-shaped vector divisions were slow)."""
     rows = jnp.full_like(s_cand, jnp.int32(2**30))
     cand_base = 0
     row_base = 0
     for t in tiers:
         r = t.row_counts.shape[0]
         size = r * t.k_range
-        if size >= 1 << 24:
-            raise ValueError("tier too large for exact f32 row division")
         local = s_cand - cand_base
-        q = jnp.floor(
-            (local.astype(jnp.float32) + 0.5) / float(t.k_range)
-        ).astype(jnp.int32)
+        q = jnp.clip(local, 0, size - 1) // t.k_range
         inside = (s_cand >= cand_base) & (s_cand < cand_base + size)
         rows = jnp.where(inside, row_base + q, rows)
         cand_base += size

@@ -82,11 +82,9 @@ def _blocks_gather_fwd(td, cap, num_shards, feats, idx, sorted_tile,
 def _blocks_gather_bwd(td, cap, num_shards, res, dblocks):
     max_i, sorted_tile, seg_start, seg_end = res
     p = jnp.arange(max_i, dtype=jnp.int32)
-    # dest shard of stream position p from its (global-grid) tile id; the
-    # f32 division is exact for tile ids < 2^24.
-    dest = jnp.floor(
-        (sorted_tile.astype(jnp.float32) + 0.5) / float(td)
-    ).astype(jnp.int32)
+    # dest shard of stream position p from its (global-grid) tile id
+    # (static-divisor integer division: strength-reduced by XLA).
+    dest = sorted_tile // td
     destc = jnp.clip(dest, 0, num_shards - 1)
     within = p - jnp.take(seg_start, destc)
     slot = destc * cap + within

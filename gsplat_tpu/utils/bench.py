@@ -93,6 +93,10 @@ def run_bench(
             "compile_s": round(compile_s, 1),
             "num_intersections": int(out.num_intersections),
             "overflow": bool(out.overflow),
+            # Capacity-proportional stages (gather, backward sort) pay for
+            # unused slots; ~15% headroom over the measured stream is the
+            # sweet spot for a fixed camera set.
+            "suggested_max_intersections": int(out.num_intersections * 1.15),
             "device": str(jax.devices()[0]),
             "impl": impl,
         },

@@ -204,18 +204,20 @@ def _precise_tile_valid(proj: ProjectedGaussians, ids, tx, ty, cfg: RenderConfig
     dy1 = dy0 + (ts - 1.0)
     inside = (dx0 <= 0) & (0 <= dx1) & (dy0 <= 0) & (0 <= dy1)
 
-    a_s = jnp.maximum(a, 1e-12)
-    c_s = jnp.maximum(c, 1e-12)
+    # Per-ROW reciprocals (broadcast over the K lanes) instead of per-lane
+    # divisions in the edge minimizers.
+    neg_b_over_a = -b / jnp.maximum(a, 1e-12)
+    neg_b_over_c = -b / jnp.maximum(c, 1e-12)
 
     def q(dx, dy):
         return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
 
     def edge_x(d):  # dx = d fixed, minimize over dy
-        dy = jnp.clip(-b * d / c_s, dy0, dy1)
+        dy = jnp.clip(neg_b_over_c * d, dy0, dy1)
         return q(d, dy)
 
     def edge_y(d):  # dy = d fixed, minimize over dx
-        dx = jnp.clip(-b * d / a_s, dx0, dx1)
+        dx = jnp.clip(neg_b_over_a * d, dx0, dx1)
         return q(dx, d)
 
     qmin = jnp.minimum(

@@ -69,6 +69,7 @@ def fit(
     densify_every: int = 0,
     densify_grad_threshold: float = 2e-4,
     densify_until: int | None = None,
+    metrics_csv: str | None = None,
 ):
     """Returns (trained scene, metrics list).
 
@@ -118,6 +119,14 @@ def fit(
             row = {"step": it + 1, "loss": round(loss, 6), "it_per_s": round(its, 3)}
             metrics.append(row)
             print(row if on_metrics is None else on_metrics(row))
+            if metrics_csv:
+                # Structured per-step metrics (SURVEY.md section 5: the
+                # reference only console.logs); header written lazily.
+                new = not os.path.exists(metrics_csv)
+                with open(metrics_csv, "a") as f:
+                    if new:
+                        f.write(",".join(row.keys()) + "\n")
+                    f.write(",".join(str(v) for v in row.values()) + "\n")
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             path = os.path.join(checkpoint_dir, f"ckpt_{it + 1:06d}.npz")
             save_checkpoint(path, state)

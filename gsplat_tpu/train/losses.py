@@ -16,12 +16,19 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache()
-def _gaussian_window(size: int = 11, sigma: float = 1.5):
+def _gaussian_window_np(size: int = 11, sigma: float = 1.5):
+    # Cache the NUMPY window only: caching a jnp array here leaks a tracer
+    # if the first call happens inside a trace (UnexpectedTracerError in any
+    # later trace) -- the conversion below is free under jit (a constant).
     import numpy as np
 
     x = np.arange(size) - size // 2
     g = np.exp(-(x**2) / (2 * sigma**2))
-    return jnp.asarray((g / g.sum()).astype("float32"))
+    return (g / g.sum()).astype("float32")
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    return jnp.asarray(_gaussian_window_np(size, sigma))
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:

@@ -60,11 +60,10 @@ def run_bench(
 
     if mode == "fwd":
         fn = jax.jit(lambda s: render(s, cam, cfg).image, static_argnums=())
-        run = lambda: fn(scene).block_until_ready()
     else:
         target = jnp.zeros((height, width, 3), jnp.float32)
-        grad_fn = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))
-        run = lambda: jax.block_until_ready(grad_fn(scene))
+        fn = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))
+    run = lambda: jax.block_until_ready(fn(scene))
 
     # Warmup / compile.
     t0 = time.time()
@@ -72,9 +71,13 @@ def run_bench(
     compile_s = time.time() - t0
     run()
 
+    # Steady-state throughput: dispatch the whole window, block once, so
+    # host dispatch latency overlaps device work as in a real training loop.
     t0 = time.time()
+    out_last = None
     for _ in range(iters):
-        run()
+        out_last = fn(scene)
+    jax.block_until_ready(out_last)
     dt = (time.time() - t0) / iters
 
     its = 1.0 / dt

@@ -79,3 +79,23 @@ def test_nonsquare_image():
     np.testing.assert_allclose(
         np.asarray(out.image), np.asarray(oracle_img), rtol=1e-4, atol=1e-4
     )
+
+
+def test_golden_image_regression():
+    """Fixed scene + camera against a stored golden render (SURVEY.md
+    section 4 item 3): catches any unintended numerical drift in the
+    projection/binning/blend semantics."""
+    import os
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "render_64.npz")
+    )["image"].astype(np.float32)
+    cfg = RenderConfig(width=64, height=64, tile_size=8,
+                       max_intersections=1 << 14, max_tiles_per_gaussian=64,
+                       block_size=8, max_per_tile=512)
+    scene = random_scene(jax.random.key(42), 300, sh_degree=3)
+    cam = Camera.default(64, 64)
+    img = np.asarray(render(scene, cam, cfg).image)
+    mse = float(np.mean((img - golden) ** 2))
+    psnr = 10 * np.log10(max(golden.max(), 1.0) ** 2 / max(mse, 1e-12))
+    assert psnr > 55.0, f"golden PSNR {psnr:.1f} dB"

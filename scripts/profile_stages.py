@@ -46,12 +46,13 @@ def main():
     ap.add_argument("--pallas-block", type=int, default=256)
     ap.add_argument("--kmax", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--tile-size", type=int, default=16)
     args = ap.parse_args()
 
     cfg = RenderConfig(
         width=args.width,
         height=args.height,
-        tile_size=16,
+        tile_size=args.tile_size,
         max_intersections=args.max_intersections,
         max_tiles_per_gaussian=args.kmax,
         block_size=32,

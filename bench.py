@@ -21,6 +21,9 @@ def main():
     # Full headline config on TPU; a scaled-down config keeps CPU smoke runs
     # tractable.
     if on_tpu:
+        # Tile 32 halves the intersection stream vs tile 16 (fewer tiles per
+        # splat); the extra per-tile blend work is cheap MXU time. G=128
+        # keeps the backward blend block inside the VMEM budget.
         kwargs = dict(
             num_gaussians=1_000_000,
             width=1920,
@@ -28,11 +31,12 @@ def main():
             impl="pallas",
             mode="fwd_bwd",
             iters=10,
-            tile_size=16,
-            max_intersections=11_000_000,
+            tile_size=32,
+            max_intersections=6_000_000,
             block_size=32,
             max_per_tile=8192,
             binning="tiered",
+            pallas_block_size=128,
         )
     else:
         kwargs = dict(

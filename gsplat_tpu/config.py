@@ -127,3 +127,14 @@ class RenderConfig:
             raise ValueError(f"unknown binning mode {self.binning!r}")
         if self.impl not in ("jnp", "pallas"):
             raise ValueError(f"unknown impl {self.impl!r}")
+        if (
+            self.impl == "pallas"
+            and self.pixels_per_tile * self.pallas_block_size > 131072
+        ):
+            raise ValueError(
+                "pixels_per_tile * pallas_block_size = "
+                f"{self.pixels_per_tile * self.pallas_block_size} exceeds the "
+                "backward blend kernel's ~16 MB VMEM budget (limit 131072, "
+                "measured on v5e); lower pallas_block_size (128 fits "
+                "tile_size 32)"
+            )

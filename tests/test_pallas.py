@@ -109,3 +109,35 @@ def test_pallas_early_exit_correctness():
     np.testing.assert_allclose(
         np.asarray(out_p.image), np.asarray(out_j.image), rtol=1e-4, atol=1e-5
     )
+
+
+def test_pallas_tile32_matches_jnp():
+    """tile_size 32 with the VMEM-sized G=128 block (the production bench
+    shape) in interpreter mode."""
+    import dataclasses as _dc
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene, render
+
+    cfg = RenderConfig(
+        width=64, height=64, tile_size=32, max_intersections=1 << 13,
+        max_tiles_per_gaussian=16, block_size=8, max_per_tile=256,
+        binning="packed", impl="pallas", pallas_interpret=True,
+        pallas_block_size=128,
+    )
+    scene = random_scene(jax.random.key(21), 150, sh_degree=1)
+    cam = Camera.default(64, 64)
+    out_p = render(scene, cam, cfg)
+    out_j = render(scene, cam, _dc.replace(cfg, impl="jnp"))
+    np.testing.assert_allclose(
+        np.asarray(out_p.image), np.asarray(out_j.image), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_vmem_budget_guard():
+    import pytest as _pytest
+
+    from gsplat_tpu import RenderConfig
+
+    with _pytest.raises(ValueError, match="VMEM"):
+        RenderConfig(width=64, height=64, tile_size=32, impl="pallas",
+                     pallas_block_size=256, block_size=8, max_per_tile=256)

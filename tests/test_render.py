@@ -99,3 +99,19 @@ def test_golden_image_regression():
     mse = float(np.mean((img - golden) ** 2))
     psnr = 10 * np.log10(max(golden.max(), 1.0) ** 2 / max(mse, 1e-12))
     assert psnr > 55.0, f"golden PSNR {psnr:.1f} dB"
+
+
+def test_image_invariant_to_tile_size():
+    """Tile size is a scheduling choice: the rendered image must not depend
+    on it (same per-pixel blend sequence, different binning granularity)."""
+    scene = random_scene(jax.random.key(6), 200, sh_degree=1)
+    cam = Camera.default(64, 64)
+    imgs = []
+    for ts in (8, 16, 32):
+        cfg = RenderConfig(width=64, height=64, tile_size=ts,
+                           max_intersections=1 << 14,
+                           max_tiles_per_gaussian=64, block_size=8,
+                           max_per_tile=1024, binning="packed")
+        imgs.append(np.asarray(render(scene, cam, cfg).image))
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(imgs[1], imgs[2], rtol=1e-5, atol=1e-6)

@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--kmax", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--tile-size", type=int, default=16)
+    ap.add_argument("--tier-spec", default="8,2,8",
+                    help="K0,div1,div2 for tiered binning")
     args = ap.parse_args()
 
     cfg = RenderConfig(
@@ -60,6 +62,7 @@ def main():
         binning=args.binning,
         impl=args.impl,
         pallas_block_size=args.pallas_block,
+        tier_spec=tuple(int(x) for x in args.tier_spec.split(",")),
     )
     scene = jax.device_put(random_scene(jax.random.key(0), args.n, sh_degree=3))
     cam = Camera.default(cfg.width, cfg.height)

@@ -229,6 +229,27 @@ def _precise_tile_valid(proj: ProjectedGaussians, ids, tx, ty, cfg: RenderConfig
     return (op > cfg.alpha_min) & (qmin <= tau)
 
 
+def _rect_cull_mask(proj, cfg: RenderConfig, n: int, kmax: int, rect_w):
+    """(N, K_max) validity of the rect walk: k < counts, intersected with
+    the exact ellipse-tile cull when enabled. On the pallas path a single
+    fused kernel computes it (the jnp form makes XLA materialize a dozen
+    (N, K_max) f32 intermediates, ~62 ms at 64M lanes)."""
+    if cfg.tile_culling and cfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas.cull import tile_cull_mask_pallas
+
+        return tile_cull_mask_pallas(proj, cfg)
+    k = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+    ky, kx = _rect_divmod(k, rect_w[:, None])
+    tx_all = proj.rect[:, 0:1] + kx
+    ty_all = proj.rect[:, 1:2] + ky
+    valid_all = k < proj.counts[:, None]
+    if cfg.tile_culling:
+        valid_all &= _precise_tile_valid(
+            proj, jnp.arange(n, dtype=jnp.int32), tx_all, ty_all, cfg
+        )
+    return valid_all
+
+
 def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     """Tiered candidate expansion: every Gaussian gets K0=4 candidate slots;
     Gaussians whose rect covers more tiles are compacted (cumsum-rank
@@ -250,14 +271,7 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     # pool budgets on rect candidates the cull would have dropped anyway.
     k = jnp.arange(kmax, dtype=jnp.int32)[None, :]
     rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
-    ky, kx = _rect_divmod(k, rect_w[:, None])
-    tx_all = proj.rect[:, 0:1] + kx
-    ty_all = proj.rect[:, 1:2] + ky
-    valid_all = k < proj.counts[:, None]
-    if cfg.tile_culling:
-        valid_all &= _precise_tile_valid(
-            proj, jnp.arange(n, dtype=jnp.int32), tx_all, ty_all, cfg
-        )
+    valid_all = _rect_cull_mask(proj, cfg, n, kmax, rect_w)
     counts = jnp.sum(valid_all, axis=1).astype(jnp.int32)  # culled counts
     compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1)  # (N, kmax)
 
@@ -327,16 +341,12 @@ def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
     n = proj.mask.shape[0]
     kmax = cfg.max_tiles_per_gaussian
     k = jnp.arange(kmax, dtype=jnp.int32)[None, :]            # (1, K)
-    rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)[:, None]
-    ky, kx = _rect_divmod(k, rect_w)
+    rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
+    ky, kx = _rect_divmod(k, rect_w[:, None])
     tx = proj.rect[:, 0:1] + kx
     ty = proj.rect[:, 1:2] + ky
     tile = ty * cfg.tiles_x + tx                              # (N, K)
-    valid = k < proj.counts[:, None]                          # (N, K)
-    if cfg.tile_culling:
-        valid &= _precise_tile_valid(
-            proj, jnp.arange(n, dtype=jnp.int32), tx, ty, cfg
-        )
+    valid = _rect_cull_mask(proj, cfg, n, kmax, rect_w)       # (N, K)
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile.shape)
     depth = jnp.broadcast_to(proj.depth[:, None], tile.shape)
     return tile, depth, gid, valid

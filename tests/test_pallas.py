@@ -141,3 +141,30 @@ def test_vmem_budget_guard():
     with _pytest.raises(ValueError, match="VMEM"):
         RenderConfig(width=64, height=64, tile_size=32, impl="pallas",
                      pallas_block_size=256, block_size=8, max_per_tile=256)
+
+
+def test_pallas_cull_mask_matches_jnp():
+    """The fused cull kernel (ops/pallas/cull.py) must agree lane-for-lane
+    with the jnp _rect_cull_mask it replaces."""
+    import jax.numpy as _jnp
+
+    from gsplat_tpu.ops import binning as _b
+    from gsplat_tpu.ops.pallas.cull import tile_cull_mask_pallas
+
+    cfg = dataclasses.replace(PCFG, tile_culling=True)
+    scene = random_scene(jax.random.key(7), 400, sh_degree=0)
+    cam = Camera.default(cfg.width, cfg.height)
+    proj = project_gaussians(scene, cam, cfg)
+
+    n = proj.mask.shape[0]
+    kmax = cfg.max_tiles_per_gaussian
+    k = _jnp.arange(kmax, dtype=_jnp.int32)[None, :]
+    rect_w = _jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
+    ky, kx = _b._rect_divmod(k, rect_w[:, None])
+    tx = proj.rect[:, 0:1] + kx
+    ty = proj.rect[:, 1:2] + ky
+    ref = (k < proj.counts[:, None]) & _b._precise_tile_valid(
+        proj, _jnp.arange(n, dtype=_jnp.int32), tx, ty, cfg
+    )
+    got = tile_cull_mask_pallas(proj, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

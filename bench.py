@@ -36,6 +36,7 @@ def main():
             block_size=32,
             max_per_tile=8192,
             binning="tiered",
+            tier_spec=(8, 5, 64),
             pallas_block_size=128,
         )
     else:

@@ -78,8 +78,10 @@ class RenderConfig:
     # candidate slots; Gaussians with more surviving tiles go to overflow
     # pools of N/div1 rows x (4*K0 - K0) slots and N/div2 rows x
     # (K_max - 4*K0) slots. Budgets are checked against post-cull counts;
-    # exceeding one sets the overflow flag.
-    tier_spec: tuple = (8, 2, 8)
+    # exceeding one sets the overflow flag. (8, 5, 16) measured fastest
+    # with safe margins at 1080p/1M (the tau-AABB rect keeps per-Gaussian
+    # tile counts small); raise div1/div2 headroom for fat-splat scenes.
+    tier_spec: tuple = (8, 5, 16)
     # Rasterizer implementation: 'jnp' (pure XLA, differentiable by autodiff
     # or the shared analytic VJP) or 'pallas' (fused TPU kernel, custom VJP).
     impl: str = "jnp"

@@ -34,6 +34,7 @@ def run_bench(
     target_its: float = 30.0,
     binning: str = "sort",
     pallas_block_size: int = 256,
+    tier_spec: tuple | None = None,
 ) -> dict:
     cfg = RenderConfig(
         width=width,
@@ -45,6 +46,7 @@ def run_bench(
         impl=impl,
         binning=binning,
         pallas_block_size=pallas_block_size,
+        **({} if tier_spec is None else {"tier_spec": tuple(tier_spec)}),
     )
     if ply:
         from gsplat_tpu.io.ply import load_ply

@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--kmax", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--tile-size", type=int, default=16)
-    ap.add_argument("--tier-spec", default="8,2,8",
+    ap.add_argument("--tier-spec", default="8,5,16",
                     help="K0,div1,div2 for tiered binning")
     args = ap.parse_args()
 

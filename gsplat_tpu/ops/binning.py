@@ -250,6 +250,42 @@ def _rect_cull_mask(proj, cfg: RenderConfig, n: int, kmax: int, rect_w):
     return valid_all
 
 
+def _normalize_tier_plan(spec, kmax: int, n: int):
+    """tier_spec -> [(k_lo, k_hi, budget_rows | None), ...].
+
+    Legacy form (K0, div1, div2): dense K0-slot tier + pools of N/div1 rows
+    over slots [K0, 4*K0) and N/div2 rows over [4*K0, K_max).
+    General form ((k_hi, div), ...): cumulative slot boundaries; div == 0
+    means a dense tier (all N rows), else a pool of N//div rows. Finer
+    ladders track the tile-count histogram more closely, shrinking the
+    sort stream toward the true intersection count."""
+    if spec and isinstance(spec[0], (tuple, list)):
+        plan = []
+        k_lo = 0
+        for k_hi, div in spec:
+            k_hi = min(int(k_hi), kmax)
+            if k_hi <= k_lo:
+                continue
+            plan.append(
+                (k_lo, k_hi, None if div == 0 else max(n // int(div), 1))
+            )
+            k_lo = k_hi
+        if k_lo < kmax:  # implicit final tier to K_max, reuse last divisor
+            last_div = spec[-1][1] if spec else 0
+            plan.append(
+                (k_lo, kmax, None if last_div == 0 else max(n // int(last_div), 1))
+            )
+        return plan
+    k0, d1, d2 = spec
+    k1 = min(4 * k0, kmax)
+    plan = [(0, min(k0, kmax), None)]
+    if kmax > k0:
+        plan.append((k0, k1, max(n // d1, 1)))
+    if kmax > k1:
+        plan.append((k1, kmax, max(n // d2, 1)))
+    return plan
+
+
 def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     """Tiered candidate expansion: every Gaussian gets K0=4 candidate slots;
     Gaussians whose rect covers more tiles are compacted (cumsum-rank
@@ -275,13 +311,7 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     counts = jnp.sum(valid_all, axis=1).astype(jnp.int32)  # culled counts
     compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1)  # (N, kmax)
 
-    k0, d1, d2 = cfg.tier_spec
-    k1 = min(4 * k0, kmax)
-    tiers = [(0, min(k0, kmax), None)]
-    if kmax > k0:
-        tiers.append((k0, k1, max(n // d1, 1)))
-    if kmax > k1:
-        tiers.append((k1, kmax, max(n // d2, 1)))
+    tiers = _normalize_tier_plan(cfg.tier_spec, kmax, n)
 
     all_ids = jnp.arange(n, dtype=jnp.int32)
 
@@ -297,17 +327,15 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
             rank = (jnp.cumsum(member) - 1).astype(jnp.int32)
             pool_overflow = pool_overflow | (jnp.sum(member) > budget)
             member = member & (rank < budget)
-            # Compaction by stable sort (members first, original order), not
+            # Compaction by sort (members first, original order), not
             # scatter: lax.sort_key_val is ~2x faster than a 1M-row
-            # .at[].set scatter on TPU.
+            # .at[].set scatter on TPU. Member keys (= rank) are unique so
+            # stability is irrelevant; rows past the member count hold
+            # arbitrary non-members, whose tier candidates are all
+            # invalidated by the kk < counts test below.
             key = jnp.where(member, rank, jnp.int32(2**30))
             _, ids = jax.lax.sort_key_val(key, all_ids)
-            ids = jnp.where(
-                jnp.arange(budget, dtype=jnp.int32)
-                < jnp.sum(member).astype(jnp.int32),
-                ids[:budget],
-                n,
-            )
+            ids = ids[:budget]
             tier_members.append((member, rank))
         kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
         ids_c = jnp.clip(ids, 0, n - 1)

@@ -228,3 +228,29 @@ def test_tiered_matches_sort_large_kmax(small_scene, small_camera):
     np.testing.assert_array_equal(
         np.asarray(b_sort.ranges), np.asarray(b_tier.ranges)
     )
+
+
+def test_nested_tier_plan_matches_packed(small_cfg, small_camera):
+    """General ((k_hi, div), ...) tier plans (ladder form) must reproduce the
+    packed-mode image and gradients exactly (up to fp blend-order jitter)."""
+    from gsplat_tpu import random_scene, render
+    from gsplat_tpu.render.pipeline import render_loss
+
+    scene = random_scene(jax.random.key(5), 500, sh_degree=2)
+    ref_cfg = dataclasses.replace(small_cfg, binning="packed")
+    ref = render(scene, small_camera, ref_cfg)
+    plan = ((4, 0), (8, 2), (16, 6), (32, 32), (64, 512))
+    cfg = dataclasses.replace(small_cfg, binning="tiered", tier_spec=plan)
+    out = render(scene, small_camera, cfg)
+    assert not bool(out.overflow)
+    np.testing.assert_allclose(
+        np.asarray(out.image), np.asarray(ref.image), rtol=1e-5, atol=1e-6
+    )
+    target = jnp.zeros_like(ref.image)
+    g_t = jax.grad(lambda s: render_loss(s, small_camera, target, cfg))(scene)
+    g_r = jax.grad(lambda s: render_loss(s, small_camera, target, ref_cfg))(scene)
+    for name in ["means", "log_scales", "quats", "opacity_logits", "sh"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_t, name)), np.asarray(getattr(g_r, name)),
+            rtol=1e-4, atol=1e-6, err_msg=name,
+        )

@@ -15,6 +15,16 @@ import sys
 def main():
     import jax
 
+    # Persistent compilation cache: the full fwd+bwd graph takes ~19 min to
+    # compile cold (the 11-operand gather-backward sort dominates XLA's
+    # sort-expander pass); warm runs reuse the serialized executable.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_gsplat"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from gsplat_tpu.utils.bench import run_bench
 
     on_tpu = jax.default_backend() == "tpu"

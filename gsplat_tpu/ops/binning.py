@@ -687,10 +687,15 @@ def _gather_slots_bwd(n: int, res, dslot):
     f = dslot.shape[0]
     m_i = cand.shape[0]
     key = jnp.where(cand >= 0, cand, jnp.int32(2**31 - 1))
-    s_cand, slots_by_cand = jax.lax.sort_key_val(
-        key, jnp.arange(m_i, dtype=jnp.int32)
+    # One variadic sort carrying the gradient rows as values, instead of
+    # sort_key_val + a (F, m_i) permutation gather: the 11-operand sort
+    # measures 50 ms vs 93 ms for sort+2-D-take at 4.5M slots (the
+    # permutation is mostly monotone, the worst case for the TPU gather).
+    sorted_all = jax.lax.sort(
+        (key,) + tuple(dslot[i] for i in range(f)), num_keys=1
     )
-    x = jnp.take(dslot, slots_by_cand, axis=1)  # (F, m_i), cand order
+    s_cand = sorted_all[0]
+    x = jnp.stack(sorted_all[1:])  # (F, m_i), cand order
     rows = _rows_from_cand(s_cand, tiers)
 
     l_max = max((t.k_range for t in tiers), default=1)

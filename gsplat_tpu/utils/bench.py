@@ -35,7 +35,13 @@ def run_bench(
     binning: str = "sort",
     pallas_block_size: int = 256,
     tier_spec: tuple | None = None,
+    max_tiles_per_gaussian: int | None = None,
 ) -> dict:
+    extra = {}
+    if tier_spec is not None:
+        extra["tier_spec"] = tuple(tier_spec)
+    if max_tiles_per_gaussian is not None:
+        extra["max_tiles_per_gaussian"] = max_tiles_per_gaussian
     cfg = RenderConfig(
         width=width,
         height=height,
@@ -46,7 +52,7 @@ def run_bench(
         impl=impl,
         binning=binning,
         pallas_block_size=pallas_block_size,
-        **({} if tier_spec is None else {"tier_spec": tuple(tier_spec)}),
+        **extra,
     )
     if ply:
         from gsplat_tpu.io.ply import load_ply

@@ -54,19 +54,10 @@ NUM_FEATURES = 10
 PADDED_FEATURES = 16
 
 
-@struct.dataclass
-class TierMeta:
-    """Backward-pass metadata for one candidate tier (see _gather_slots_bwd).
-
-    A tier is a dense (R, k_range) candidate grid; its candidates occupy a
-    contiguous id range, so the slot gradients of its surviving candidates
-    form contiguous per-row windows once sorted by candidate id."""
-    member: jnp.ndarray | None   # (N,) bool pool membership; None => R == N
-    rank: jnp.ndarray | None     # (N,) int32 pool row of each member
-    row_counts: jnp.ndarray      # (R,) int32 surviving candidates per row
-    row_offsets: jnp.ndarray     # (R,) int32 exclusive start of the row's
-    #                            #   window in candidate-sorted present order
-    k_range: int = struct.field(pytree_node=False, default=0)
+# Bits of the per-Gaussian candidate index k packed into the low end of the
+# (gid << KBITS | k) u32 sort value. Supports K_max <= 128 and
+# N < 2^24 - 1 (gidk must stay below the 2^31 - 1 invalid sentinel).
+KBITS = 7
 
 
 @struct.dataclass
@@ -78,10 +69,13 @@ class BinnedGaussians:
     #                          #   [ranges[t], ranges[t+1])
     num_intersections: jnp.ndarray  # () int32 true total (may exceed capacity)
     overflow: jnp.ndarray      # () bool: capacity or K_max exceeded
-    sorted_cand: jnp.ndarray | None = None  # (max_I,) int32 candidate id per
-    #                          #   slot (-1 = padding); enables the
+    sorted_gidk: jnp.ndarray | None = None  # (max_I,) int32 gid << KBITS | k
+    #                          #   per slot (-1 = padding); enables the
     #                          #   sort-based gather backward
-    tiers: tuple = ()          # tuple[TierMeta, ...] (empty => autodiff bwd)
+    gauss_offsets: jnp.ndarray | None = None  # (N,) int32 exclusive start of
+    #                          #   each Gaussian's run in gidk-sorted order
+    gauss_counts: jnp.ndarray | None = None   # (N,) int32 surviving
+    #                          #   candidates per Gaussian (post-cull)
 
 
 def _align_stream(s_tile, s_gid, ranges, max_i: int, n_local: int, align: int,
@@ -294,8 +288,10 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     dominant cost at 1M Gaussians -- while preserving exact coverage up to
     the (flagged) pool budgets.
 
-    Returns (tile (M,), depth (M,), gid (M,), valid (M,), pool_overflow (),
-    tier_shapes [(R, k_range)...], tier_members [(member, rank) or None ...]).
+    Returns (tile (M,), depth (M,), gid (M,), kidx (M,), valid (M,),
+    pool_overflow (), counts (N,) post-cull per-Gaussian candidate counts).
+    kidx is the candidate's compact per-Gaussian index (position among the
+    Gaussian's surviving tiles) -- unique within a Gaussian across tiers.
     """
     n = proj.mask.shape[0]
     kmax = cfg.max_tiles_per_gaussian
@@ -315,13 +311,11 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
 
     all_ids = jnp.arange(n, dtype=jnp.int32)
 
-    tiles_l, depth_l, gid_l, valid_l = [], [], [], []
-    tier_shapes, tier_members = [], []
+    tiles_l, depth_l, gid_l, kidx_l, valid_l = [], [], [], [], []
     pool_overflow = jnp.zeros((), bool)
     for k_lo, k_hi, budget in tiers:
         if budget is None:
             ids = all_ids
-            tier_members.append(None)
         else:
             member = counts > k_lo
             rank = (jnp.cumsum(member) - 1).astype(jnp.int32)
@@ -336,7 +330,6 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
             key = jnp.where(member, rank, jnp.int32(2**30))
             _, ids = jax.lax.sort_key_val(key, all_ids)
             ids = ids[:budget]
-            tier_members.append((member, rank))
         kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
         ids_c = jnp.clip(ids, 0, n - 1)
         if budget is None:
@@ -365,26 +358,26 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
         cky, ckx = _rect_divmod(ck, row_w)
         tile = (row_y0 + cky) * cfg.tiles_x + (row_x0 + ckx)
         valid = in_pool & (kk < row_counts)
-        tier_shapes.append((tile.shape[0], k_hi - k_lo))
         tiles_l.append(tile.reshape(-1))
         depth_l.append(jnp.broadcast_to(row_depth, tile.shape).reshape(-1))
         gid_l.append(jnp.broadcast_to(ids_c[:, None], tile.shape).reshape(-1))
+        kidx_l.append(jnp.broadcast_to(kk, tile.shape).reshape(-1))
         valid_l.append(valid.reshape(-1))
 
     return (
         jnp.concatenate(tiles_l),
         jnp.concatenate(depth_l),
         jnp.concatenate(gid_l),
+        jnp.concatenate(kidx_l),
         jnp.concatenate(valid_l),
         pool_overflow,
-        tier_shapes,
-        tier_members,
+        counts,
     )
 
 
 def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
-    """Expand each Gaussian into its K_max candidate (tile, depth, gid)
-    triples; entry k is valid iff k < counts[gid]. Row-major walk of the
+    """Expand each Gaussian into its K_max candidate (tile, depth, gid, k)
+    tuples; entry k is valid iff the cull mask passes. Row-major walk of the
     rect, like the reference's write_tile_ids loop
     (reference: src/write_tile_ids.wgsl:23-35)."""
     n = proj.mask.shape[0]
@@ -398,7 +391,8 @@ def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
     valid = _rect_cull_mask(proj, cfg, n, kmax, rect_w)       # (N, K)
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile.shape)
     depth = jnp.broadcast_to(proj.depth[:, None], tile.shape)
-    return tile, depth, gid, valid
+    kidx = jnp.broadcast_to(k, tile.shape)
+    return tile, depth, gid, kidx, valid
 
 
 def bin_gaussians(
@@ -418,59 +412,64 @@ def bin_gaussians(
     num_local_tiles must be static.
     """
     max_i = cfg.max_intersections
+    n = proj.mask.shape[0]
+    kmax = cfg.max_tiles_per_gaussian
     n_local = cfg.num_tiles if num_local_tiles is None else num_local_tiles
     sentinel = jnp.int32(n_local)
+    if cfg.binning != "scatter" and (kmax > (1 << KBITS) or n >= (1 << 24) - 1):
+        raise ValueError(
+            f"gid<<{KBITS}|k packing needs max_tiles_per_gaussian <= "
+            f"{1 << KBITS} and N < 2^24-1 (got K_max {kmax}, N {n}); use "
+            "binning='scatter' beyond that"
+        )
     if cfg.binning == "tiered":
-        tile, depth, gid, valid, pool_ovf, tier_shapes, tier_members = (
+        tile, depth, gid, kidx, valid, pool_ovf, gcounts = (
             _tiered_candidates(proj, cfg)
         )
     else:
-        tile, depth, gid, valid = _candidate_tiles(proj, cfg)
+        tile, depth, gid, kidx, valid = _candidate_tiles(proj, cfg)
         pool_ovf = jnp.zeros((), bool)
-        tier_shapes = [(tile.shape[0], tile.shape[1])]
-        tier_members = [None]
+        gcounts = jnp.sum(valid, axis=1).astype(jnp.int32)
     if tile_start is not None:
         t0 = jnp.asarray(tile_start, jnp.int32)
         valid = valid & (tile >= t0) & (tile < t0 + n_local)
         tile = tile - t0
+        # Shard-local per-Gaussian candidate counts for the gather backward
+        # (the global culled counts over-count candidates outside this
+        # shard's tile range). Recomputed on the compact (N, K_max) grid --
+        # elementwise only, no gathers.
+        if cfg.binning == "tiered":
+            k = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+            rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
+            valid_all = _rect_cull_mask(proj, cfg, n, kmax, rect_w)
+            compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1)
+            cky, ckx = _rect_divmod(
+                jnp.minimum(compact_k, kmax - 1), rect_w[:, None]
+            )
+            tile_all = (proj.rect[:, 1:2] + cky) * cfg.tiles_x + (
+                proj.rect[:, 0:1] + ckx
+            )
+            in_rng = (
+                (k < gcounts[:, None])
+                & (tile_all >= t0)
+                & (tile_all < t0 + n_local)
+            )
+            gcounts = jnp.sum(in_rng, axis=1).astype(jnp.int32)
+        else:
+            gcounts = jnp.sum(valid, axis=1).astype(jnp.int32)
     total = jnp.sum(valid).astype(jnp.int32)
     overflow = proj.overflow | pool_ovf | (total > max_i)
 
     tile_f = jnp.where(valid, tile, sentinel).reshape(-1)
     depth_f = jnp.where(valid, depth, jnp.inf).reshape(-1).astype(jnp.float32)
-    gid_f = gid.reshape(-1)
-    valid_f = valid.reshape(-1)
-    m_c = valid_f.shape[0]
-    cand_f = jnp.arange(m_c, dtype=jnp.int32)
-
-    # Per-tier row window metadata for the sort-based gather backward: the
-    # surviving candidates of tier row r occupy the contiguous window
-    # [row_offsets[r], row_offsets[r] + row_counts[r]) of the stream's
-    # candidate-sorted present order (candidate ids are assigned in tier-
-    # major, row-major, k-major order, and the binning sort is stable).
-    tiers = []
-    base = 0
-    all_counts = []
-    for (r, k_range), mem in zip(tier_shapes, tier_members):
-        v = valid_f[base : base + r * k_range].reshape(r, k_range)
-        all_counts.append(jnp.sum(v, axis=1).astype(jnp.int32))
-        base += r * k_range
-    flat_counts = jnp.concatenate(all_counts)
-    flat_offsets = (jnp.cumsum(flat_counts) - flat_counts).astype(jnp.int32)
-    row_base = 0
-    for (r, k_range), mem, counts_t in zip(tier_shapes, tier_members, all_counts):
-        tiers.append(
-            TierMeta(
-                member=None if mem is None else mem[0],
-                rank=None if mem is None else mem[1],
-                row_counts=counts_t,
-                row_offsets=jax.lax.dynamic_slice_in_dim(
-                    flat_offsets, row_base, r
-                ),
-                k_range=k_range,
-            )
-        )
-        row_base += r
+    # gid << KBITS | k: one sort value carrying both the Gaussian index (for
+    # the slot-order feature gather) and the per-Gaussian candidate index
+    # (for the sort-based gather backward, which re-sorts slot gradients by
+    # gidk -> gid-major runs). Replaces separate gid + candidate-id sort
+    # operands (one fewer 13M-lane sort operand).
+    gidk = (
+        jax.lax.shift_left(gid, jnp.int32(KBITS)) | kidx
+    ).reshape(-1)
 
     if cfg.binning in ("packed", "tiered"):
         # Single-u32-key sort: key = tile << depth_bits | depth_q. Depth is
@@ -482,44 +481,49 @@ def bin_gaussians(
         depth_bits = depth_bits_for(n_local)
         key = pack_tile_depth_key(tile, depth, n_local)
         key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        s_key, s_gid, s_cand = jax.lax.sort(
-            (key, gid.reshape(-1), cand_f), num_keys=1
-        )
+        s_key, s_gidk = jax.lax.sort((key, gidk), num_keys=1)
         if s_key.shape[0] >= max_i:
             s_key = s_key[:max_i]
-            s_gid = s_gid[:max_i]
-            s_cand = s_cand[:max_i]
+            s_gidk = s_gidk[:max_i]
         else:
             pad = max_i - s_key.shape[0]
             s_key = jnp.concatenate(
                 [s_key, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)]
             )
-            s_gid = jnp.concatenate([s_gid, jnp.zeros((pad,), jnp.int32)])
-            s_cand = jnp.concatenate([s_cand, jnp.full((pad,), -1, jnp.int32)])
+            s_gidk = jnp.concatenate([s_gidk, jnp.full((pad,), -1, jnp.int32)])
         s_tile = jnp.minimum(
             jax.lax.shift_right_logical(s_key, jnp.uint32(depth_bits)),
             jnp.uint32(n_local),
         ).astype(jnp.int32)
         # Invalid candidates share the sentinel key; mark them out.
-        s_cand = jnp.where(s_tile < n_local, s_cand, -1)
+        s_gidk = jnp.where(s_tile < n_local, s_gidk, -1)
+        s_gid = jnp.where(
+            s_gidk >= 0,
+            jax.lax.shift_right_logical(s_gidk, jnp.int32(KBITS)),
+            0,
+        )
     elif cfg.binning == "sort":
         # Sentinel-keyed entries sort to the back; valid prefix is ordered by
         # (tile, depth). Depth is a stop-gradient sort key by construction
         # (int/float values only flow through ordering, not arithmetic).
-        s_tile, _, s_gid, s_cand = jax.lax.sort(
-            (tile_f, jax.lax.stop_gradient(depth_f), gid_f, cand_f), num_keys=2
+        s_tile, _, s_gidk = jax.lax.sort(
+            (tile_f, jax.lax.stop_gradient(depth_f), gidk), num_keys=2
         )
         if s_tile.shape[0] >= max_i:
             s_tile = s_tile[:max_i]
-            s_gid = s_gid[:max_i]
-            s_cand = s_cand[:max_i]
+            s_gidk = s_gidk[:max_i]
         else:
             pad = max_i - s_tile.shape[0]
             s_tile = jnp.concatenate([s_tile, jnp.full((pad,), sentinel, jnp.int32)])
-            s_gid = jnp.concatenate([s_gid, jnp.zeros((pad,), jnp.int32)])
-            s_cand = jnp.concatenate([s_cand, jnp.full((pad,), -1, jnp.int32)])
-        s_cand = jnp.where(s_tile < n_local, s_cand, -1)
+            s_gidk = jnp.concatenate([s_gidk, jnp.full((pad,), -1, jnp.int32)])
+        s_gidk = jnp.where(s_tile < n_local, s_gidk, -1)
+        s_gid = jnp.where(
+            s_gidk >= 0,
+            jax.lax.shift_right_logical(s_gidk, jnp.int32(KBITS)),
+            0,
+        )
     else:  # 'scatter'
+        gid_f = gid.reshape(-1)
         counts = jnp.sum(valid, axis=1).astype(jnp.int32)
         offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)  # exclusive
         # Rank of each VALID candidate within its Gaussian's local-valid set.
@@ -539,8 +543,7 @@ def bin_gaussians(
         s_tile, _, s_gid = jax.lax.sort(
             (tile_buf, jax.lax.stop_gradient(depth_buf), gid_buf), num_keys=2
         )
-        s_cand = None
-        tiers = []
+        s_gidk = None
 
     # Range compaction: one searchsorted replaces the reference's
     # compute_ranges kernel (and fixes its 0xFFFFFFFE/0xFFFFFFFF sentinel
@@ -553,15 +556,21 @@ def bin_gaussians(
     # the backward), so alignment is opt-in (debug / experiments) only.
     align = cfg.stream_align or 1
     if align > 1:
-        if s_cand is None:
+        if s_gidk is None:
             s_tile, s_gid, ranges, total_padded = _align_stream(
                 s_tile, s_gid, ranges, max_i, n_local, align
             )
         else:
-            s_tile, s_gid, ranges, total_padded, s_cand = _align_stream(
-                s_tile, s_gid, ranges, max_i, n_local, align, s_cand
+            s_tile, s_gid, ranges, total_padded, s_gidk = _align_stream(
+                s_tile, s_gid, ranges, max_i, n_local, align, s_gidk
             )
         overflow = overflow | (total_padded > max_i)
+
+    if s_gidk is None:
+        offsets = None
+        gcounts = None
+    else:
+        offsets = (jnp.cumsum(gcounts) - gcounts).astype(jnp.int32)
 
     return BinnedGaussians(
         sorted_tile=s_tile,
@@ -569,8 +578,9 @@ def bin_gaussians(
         ranges=jax.lax.stop_gradient(ranges),
         num_intersections=total,
         overflow=overflow,
-        sorted_cand=None if s_cand is None else jax.lax.stop_gradient(s_cand),
-        tiers=tuple(tiers),
+        sorted_gidk=None if s_gidk is None else jax.lax.stop_gradient(s_gidk),
+        gauss_offsets=None if offsets is None else jax.lax.stop_gradient(offsets),
+        gauss_counts=None if gcounts is None else jax.lax.stop_gradient(gcounts),
     )
 
 
@@ -603,15 +613,15 @@ def gather_features(
         ],
         axis=0,
     ).astype(jnp.float32)  # (F, N)
-    if binned.sorted_cand is None:
+    if binned.sorted_gidk is None:
         # 'scatter' binning: plain differentiable gather (autodiff transpose
         # is an XLA scatter-add -- slow on TPU, but this mode is not the
         # production path).
         gid = jnp.where(binned.sorted_gid < 0, feats.shape[1], binned.sorted_gid)
         return jnp.take(feats, gid, axis=1, mode="fill", fill_value=0.0)
     return _gather_slots(
-        feats.shape[1], feats, binned.sorted_gid, binned.sorted_cand,
-        binned.tiers,
+        cfg.max_tiles_per_gaussian, feats, binned.sorted_gid,
+        binned.sorted_gidk, binned.gauss_offsets, binned.gauss_counts,
     )
 
 
@@ -626,67 +636,38 @@ def gather_features(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_slots(n: int, feats, gid, cand, tiers):
+def _gather_slots(kmax: int, feats, gid, gidk, offsets, counts):
     """Gather per-Gaussian features into slot order with a sort-based VJP.
 
     The autodiff transpose of this gather is a scatter-add of max_I rows into
     N -- measured at ~2.7 s for 33M rows on a v5e chip (XLA TPU scatter
-    serializes). The hand-written backward uses only sorts, gathers and dense
-    reductions (all fast on TPU):
-      1. sort the slot indices by candidate id -> the present candidates'
-         gradients in candidate order,
-      2. per tier, gather each row's contiguous window (offsets/counts were
-         recorded by bin_gaussians from the pre-sort valid mask) and reduce
-         over the window -> per-row gradient,
-      3. rows ARE Gaussians for dense tiers; pool tiers map rows back through
-         the (member, rank) compaction -- a gather, not a scatter.
+    serializes). The hand-written backward uses only one variadic sort and
+    dense reductions (all fast on TPU):
+      1. one lax.sort keyed by gidk = gid << KBITS | k carrying the slot
+         gradient rows as values -> gradients in gid-major runs,
+      2. segmented suffix-sum by doubling (ceil(log2 K_max) shift+add
+         passes) leaves every Gaussian's full gradient at its run start,
+      3. one (F, N) take at gauss_offsets (exclusive cumsum of the
+         per-Gaussian candidate counts) reads the runs out.
     Requires every valid candidate to be present in the stream, which holds
     whenever the overflow flag is clear."""
-    g = jnp.where(gid < 0, n, gid)
+    g = jnp.where(gid < 0, feats.shape[1], gid)
     return jnp.take(feats, g, axis=1, mode="fill", fill_value=0.0)
 
 
-def _gather_slots_fwd(n: int, feats, gid, cand, tiers):
-    out = _gather_slots(n, feats, gid, cand, tiers)
-    return out, (cand, tiers)
+def _gather_slots_fwd(kmax: int, feats, gid, gidk, offsets, counts):
+    out = _gather_slots(kmax, feats, gid, gidk, offsets, counts)
+    return out, (gidk, offsets, counts)
 
 
-def _rows_from_cand(s_cand, tiers):
-    """Global tier-row index per candidate-sorted position (monotone);
-    positions outside every tier (sentinel cands) get a huge sentinel row.
-    Pure arithmetic: tier by range test, row by integer division with a
-    STATIC divisor (XLA strength-reduces it; measured free on flat i32
-    arrays -- only broadcast-shaped vector divisions were slow)."""
-    rows = jnp.full_like(s_cand, jnp.int32(2**30))
-    cand_base = 0
-    row_base = 0
-    for t in tiers:
-        r = t.row_counts.shape[0]
-        size = r * t.k_range
-        local = s_cand - cand_base
-        q = jnp.clip(local, 0, size - 1) // t.k_range
-        inside = (s_cand >= cand_base) & (s_cand < cand_base + size)
-        rows = jnp.where(inside, row_base + q, rows)
-        cand_base += size
-        row_base += r
-    return rows
-
-
-def _gather_slots_bwd(n: int, res, dslot):
-    """Slot gradients -> per-Gaussian gradients without any scatter.
-
-    XLA's TPU gather costs ~20 ns/element on HBM-resident sources, so the
-    previous per-tier window gathers (sum of R_t x k_range lanes) dominated
-    the whole backward. Instead: rows are MONOTONE in candidate-sorted
-    order and row segments are short (<= k_range), so a segmented
-    suffix-sum by doubling -- ceil(log2 k_range) elementwise shift+add
-    passes, each a contiguous bandwidth-bound op -- leaves every row's full
-    sum at its first position; one gather at row_offsets per tier reads it
-    out. Exact (pairwise partial sums stay within one row)."""
-    cand, tiers = res
+def _gather_slots_bwd(kmax: int, res, dslot):
+    """Slot gradients -> per-Gaussian gradients without any scatter; see
+    _gather_slots docstring. The run grouping comes straight from the gidk
+    value (gid = gidk >> KBITS); no per-tier metadata is needed."""
+    gidk, offsets, counts = res
     f = dslot.shape[0]
-    m_i = cand.shape[0]
-    key = jnp.where(cand >= 0, cand, jnp.int32(2**31 - 1))
+    m_i = gidk.shape[0]
+    key = jnp.where(gidk >= 0, gidk, jnp.int32(2**31 - 1))
     # One variadic sort carrying the gradient rows as values, instead of
     # sort_key_val + a (F, m_i) permutation gather: the 11-operand sort
     # measures 50 ms vs 93 ms for sort+2-D-take at 4.5M slots (the
@@ -694,31 +675,21 @@ def _gather_slots_bwd(n: int, res, dslot):
     sorted_all = jax.lax.sort(
         (key,) + tuple(dslot[i] for i in range(f)), num_keys=1
     )
-    s_cand = sorted_all[0]
-    x = jnp.stack(sorted_all[1:])  # (F, m_i), cand order
-    rows = _rows_from_cand(s_cand, tiers)
+    rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+    x = jnp.stack(sorted_all[1:])  # (F, m_i), gid-major run order
 
-    l_max = max((t.k_range for t in tiers), default=1)
     s = 1
-    while s < l_max:
+    while s < kmax:
         rows_sh = jnp.concatenate([rows[s:], jnp.full((s,), -1, rows.dtype)])
         same = (rows_sh == rows)[None, :].astype(x.dtype)
         x_sh = jnp.concatenate([x[:, s:], jnp.zeros((f, s), x.dtype)], axis=1)
         x = x + x_sh * same
         s <<= 1
 
-    dgauss = jnp.zeros((f, n), dslot.dtype)
-    for t in tiers:
-        r = t.row_counts.shape[0]
-        offs = jnp.clip(t.row_offsets, 0, m_i - 1)
-        drow = jnp.take(x, offs, axis=1)  # (F, R): row sum at row start
-        drow = drow * (t.row_counts > 0)[None, :].astype(drow.dtype)
-        if t.rank is None:
-            dgauss = dgauss + drow
-        else:
-            picked = jnp.take(drow, jnp.clip(t.rank, 0, r - 1), axis=1)
-            dgauss = dgauss + jnp.where(t.member[None, :], picked, 0.0)
-    return dgauss, None, None, None
+    offs = jnp.clip(offsets, 0, m_i - 1)
+    dgauss = jnp.take(x, offs, axis=1)  # (F, N): run sum at run start
+    dgauss = dgauss * (counts > 0)[None, :].astype(dgauss.dtype)
+    return dgauss, None, None, None, None
 
 
 _gather_slots.defvjp(_gather_slots_fwd, _gather_slots_bwd)

@@ -166,7 +166,26 @@ def cmd_train(args) -> int:
     return train_from_cli(args)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the fwd+bwd graph cold-compiles in
+    minutes (see bench.py); warm invocations reuse the serialized binary."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_gsplat"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except (OSError, AttributeError):
+        pass  # read-only FS or old jax: run without the cache
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     parser = argparse.ArgumentParser("gsplat-tpu",
                                      description="TPU-native 3D Gaussian Splatting")
     sub = parser.add_subparsers(dest="cmd", required=True)

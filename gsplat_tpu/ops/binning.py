@@ -676,6 +676,9 @@ def _gather_slots_bwd(kmax: int, res, dslot):
         (key,) + tuple(dslot[i] for i in range(f)), num_keys=1
     )
     rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+    # Stacking into (F, m_i) costs a 1-D -> tiled relayout (~19 ms in the
+    # profile) but keeping rows separate is far worse (10 unfused 1-D
+    # passes: 218 ms vs 82 ms measured end-to-end) -- the 2-D forms fuse.
     x = jnp.stack(sorted_all[1:])  # (F, m_i), gid-major run order
 
     s = 1

@@ -42,7 +42,7 @@ def main():
             mode="fwd_bwd",
             iters=10,
             tile_size=32,
-            max_intersections=4_500_000,
+            max_intersections=4_100_000,
             block_size=32,
             max_per_tile=8192,
             binning="tiered",

@@ -305,7 +305,7 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
     valid_all = _rect_cull_mask(proj, cfg, n, kmax, rect_w)
     counts = jnp.sum(valid_all, axis=1).astype(jnp.int32)  # culled counts
-    compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1)  # (N, kmax)
+    compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1, stable=False)  # (N, kmax)
 
     tiers = _normalize_tier_plan(cfg.tier_spec, kmax, n)
 
@@ -442,7 +442,7 @@ def bin_gaussians(
             k = jnp.arange(kmax, dtype=jnp.int32)[None, :]
             rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
             valid_all = _rect_cull_mask(proj, cfg, n, kmax, rect_w)
-            compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1)
+            compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1, stable=False)
             cky, ckx = _rect_divmod(
                 jnp.minimum(compact_k, kmax - 1), rect_w[:, None]
             )
@@ -481,7 +481,11 @@ def bin_gaussians(
         depth_bits = depth_bits_for(n_local)
         key = pack_tile_depth_key(tile, depth, n_local)
         key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        s_key, s_gidk = jax.lax.sort((key, gidk), num_keys=1)
+        # is_stable=False: XLA's stable lowering adds a 13M-lane iota
+        # tiebreak operand (~1/3 of the sort's cost); ties are identical
+        # (tile, quantized-depth) keys whose blend order is arbitrary.
+        s_key, s_gidk = jax.lax.sort((key, gidk), num_keys=1,
+                                     is_stable=False)
         if s_key.shape[0] >= max_i:
             s_key = s_key[:max_i]
             s_gidk = s_gidk[:max_i]
@@ -507,7 +511,8 @@ def bin_gaussians(
         # (tile, depth). Depth is a stop-gradient sort key by construction
         # (int/float values only flow through ordering, not arithmetic).
         s_tile, _, s_gidk = jax.lax.sort(
-            (tile_f, jax.lax.stop_gradient(depth_f), gidk), num_keys=2
+            (tile_f, jax.lax.stop_gradient(depth_f), gidk), num_keys=2,
+            is_stable=False,
         )
         if s_tile.shape[0] >= max_i:
             s_tile = s_tile[:max_i]
@@ -541,7 +546,8 @@ def bin_gaussians(
             gid_f, mode="drop"
         )[:max_i]
         s_tile, _, s_gid = jax.lax.sort(
-            (tile_buf, jax.lax.stop_gradient(depth_buf), gid_buf), num_keys=2
+            (tile_buf, jax.lax.stop_gradient(depth_buf), gid_buf), num_keys=2,
+            is_stable=False,
         )
         s_gidk = None
 
@@ -673,7 +679,8 @@ def _gather_slots_bwd(kmax: int, res, dslot):
     # measures 50 ms vs 93 ms for sort+2-D-take at 4.5M slots (the
     # permutation is mostly monotone, the worst case for the TPU gather).
     sorted_all = jax.lax.sort(
-        (key,) + tuple(dslot[i] for i in range(f)), num_keys=1
+        (key,) + tuple(dslot[i] for i in range(f)), num_keys=1,
+        is_stable=False,  # valid keys are unique; no iota tiebreak operand
     )
     rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
     # Stacking into (F, m_i) costs a 1-D -> tiled relayout (~19 ms in the

@@ -689,7 +689,7 @@ def _gather_slots_bwd(kmax: int, res, dslot):
     x = jnp.stack(sorted_all[1:])  # (F, m_i), gid-major run order
 
     s = 1
-    while s < kmax:
+    while s < kmax and s < m_i:  # shifts >= m_i can't pair two slots
         rows_sh = jnp.concatenate([rows[s:], jnp.full((s,), -1, rows.dtype)])
         same = (rows_sh == rows)[None, :].astype(x.dtype)
         x_sh = jnp.concatenate([x[:, s:], jnp.zeros((f, s), x.dtype)], axis=1)

@@ -83,6 +83,27 @@ def render_loss(
     return jnp.mean(jnp.abs(out.image - target))
 
 
+def render_loss_with_aux(
+    scene: GaussianScene,
+    camera: Camera,
+    target: jnp.ndarray,
+    cfg: RenderConfig,
+    background: jnp.ndarray | None = None,
+):
+    """render_loss plus the capacity diagnostics every training step must
+    consume: when the intersection stream or a tier pool saturates, the
+    rendered image (and therefore every gradient) is silently truncated --
+    the static-shape analogue of the reference's dynamic per-frame realloc
+    (reference: src/renderer.ts:419-441) failing. Returns
+    (loss, {"overflow": bool, "num_intersections": int32})."""
+    out = render(scene, camera, cfg, background)
+    loss = jnp.mean(jnp.abs(out.image - target))
+    return loss, {
+        "overflow": out.overflow,
+        "num_intersections": out.num_intersections,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_loss_and_grad(scene, camera, target, cfg: RenderConfig):
     return jax.value_and_grad(render_loss)(scene, camera, target, cfg)

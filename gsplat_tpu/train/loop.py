@@ -32,21 +32,37 @@ from gsplat_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
 def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
-    """Single-device train step over a batch of (cameras, targets)."""
+    """Single-device train step over a batch of (cameras, targets).
+
+    Returns step(state, cameras, targets) ->
+    (state, loss, aux, mean_grads) where aux carries the batch-aggregated
+    capacity diagnostics ({"overflow", "num_intersections"}): a saturated
+    stream silently truncates gradients, so `fit` refuses to train through
+    it (overflow_policy)."""
 
     def loss_fn(scene, cameras, targets):
         def one(camera, target):
             out = render(scene, camera, cfg)
-            return rgb_loss(out.image, target, ssim_weight)
+            return (
+                rgb_loss(out.image, target, ssim_weight),
+                out.overflow,
+                out.num_intersections,
+            )
 
-        return jnp.mean(jax.vmap(one)(cameras, targets))
+        losses, ovf, n_int = jax.vmap(one)(cameras, targets)
+        return jnp.mean(losses), {
+            "overflow": jnp.any(ovf),
+            "num_intersections": jnp.max(n_int),
+        }
 
     @jax.jit
     def step(state: TrainState, cameras, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(state.scene, cameras, targets)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.scene, cameras, targets
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
-        return TrainState(scene, opt_state, state.step + 1), loss, grads.means
+        return TrainState(scene, opt_state, state.step + 1), loss, aux, grads.means
 
     return step
 
@@ -70,13 +86,28 @@ def fit(
     densify_grad_threshold: float = 2e-4,
     densify_until: int | None = None,
     metrics_csv: str | None = None,
+    overflow_policy: str = "raise",
 ):
     """Returns (trained scene, metrics list).
 
     densify_every > 0 enables adaptive density control (train/densify.py):
     the scene must carry free capacity (GaussianScene.pad_to); optimizer
     moments are re-initialized after each densification round (slots moved).
+
+    overflow_policy: what to do when the intersection stream / tier pools
+    saturate (which silently truncates gradients):
+      'raise'  -- abort with the measured demand so the user can re-run with
+                  a sufficient cfg.max_intersections (default: densification
+                  GROWS the stream over training, so a quietly degrading fit
+                  is the likely outcome otherwise),
+      'warn'   -- print once per log window and continue,
+      'ignore' -- reference-viewer behavior (it can't overflow: dynamic
+                  realloc, src/renderer.ts:419-441); benches use this.
+    Checked every log_every steps (device-side accumulation in between, so
+    the async dispatch pipeline is never stalled per-step).
     """
+    if overflow_policy not in ("raise", "warn", "ignore"):
+        raise ValueError(f"unknown overflow_policy {overflow_policy!r}")
     from gsplat_tpu.train.densify import (
         accumulate_grads, densify_and_prune, init_densify_state,
     )
@@ -96,11 +127,34 @@ def fit(
     metrics = []
     t_last = time.time()
     start_step = int(state.step)
+    ovf_any = jnp.zeros((), bool)          # device-side accumulators --
+    int_max = jnp.zeros((), jnp.int32)     # no per-step host sync
+
+    def check_overflow(at_step):
+        nonlocal ovf_any, int_max
+        if overflow_policy == "ignore" or not bool(ovf_any):
+            return
+        demand = int(int_max)
+        msg = (
+            f"intersection stream overflowed during step <= {at_step}: "
+            f"measured demand {demand} > capacity "
+            f"{cfg.max_intersections} (or a tier pool saturated). "
+            f"Gradients were truncated. Re-run with max_intersections >= "
+            f"{int(demand * 1.15)} (or a larger tier_spec)."
+        )
+        if overflow_policy == "raise":
+            raise RuntimeError(msg)
+        print(f"WARNING: {msg}")
+        ovf_any = jnp.zeros((), bool)
+        int_max = jnp.zeros((), jnp.int32)
+
     for it in range(start_step, steps):
         sel = rng.integers(0, num_views, size=batch)
         cams_b = jax.tree.map(lambda x: x[sel], cameras)
         targets_b = targets[sel]
-        state, loss, mean_grads = step_fn(state, cams_b, targets_b)
+        state, loss, aux, mean_grads = step_fn(state, cams_b, targets_b)
+        ovf_any = ovf_any | aux["overflow"]
+        int_max = jnp.maximum(int_max, aux["num_intersections"])
         if densify_every:
             dstate = accumulate_grads(dstate, mean_grads)
             until = densify_until if densify_until is not None else steps // 2
@@ -112,6 +166,7 @@ def fit(
                 print({k: int(v) if k != "saturated" else bool(v)
                        for k, v in dstats.items()} | {"densify_at": it + 1})
         if (it + 1) % log_every == 0 or it + 1 == steps:
+            check_overflow(it + 1)
             loss = float(loss)
             dt = time.time() - t_last
             t_last = time.time()

@@ -53,7 +53,8 @@ def test_fit_reduces_loss():
     optimizer = make_optimizer(1e-2)
     step = make_train_step(CFG, optimizer, ssim_weight=0.0)
     state = init_train_state(init, optimizer)
-    _, l0, _ = step(state, cameras, targets)
+    _, l0, aux0, _ = step(state, cameras, targets)
+    assert not bool(aux0["overflow"])
     trained, metrics = fit(
         init, cameras, targets, CFG, steps=30, lr=1e-2,
         ssim_weight=0.0, log_every=30,

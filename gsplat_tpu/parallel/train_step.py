@@ -62,7 +62,7 @@ def make_sharded_train_step(
     cfg: RenderConfig,
     mesh: Mesh,
     optimizer,
-    ssim_weight: float = 0.0,
+    ssim_weight: float = 0.2,
     data_axis: str = "data",
     tile_axis: str = "tiles",
 ):
@@ -70,11 +70,39 @@ def make_sharded_train_step(
 
     cameras: a Camera pytree with a leading batch axis, sharded over 'data'.
     targets: (B, padded_H, padded_W, 3), sharded P('data', 'tiles').
-    ssim_weight > 0 requires image bands tall enough for the 11px window.
+
+    The loss is the standard 3DGS objective (1-w)*L1 + w*DSSIM with
+    ssim_weight=0.2 by default. SSIM is EXACT under sharding: each band
+    ppermutes its SSIM_HALO boundary rows to its neighbors so every 11x11
+    window sees the same pixels as the single-device computation (edge
+    shards receive zeros from the missing neighbor, matching the global
+    zero-padded window stats). Comm cost: 2 * SSIM_HALO rows of pred+target
+    per view over ICI -- negligible next to the gradient psum.
     """
     n_tiles = mesh.shape[tile_axis]
     lcfg = local_tile_cfg(cfg, n_tiles)
     true_pixels = cfg.height * cfg.width * 3
+
+    from gsplat_tpu.train.losses import SSIM_HALO, ssim_map
+
+    if ssim_weight > 0.0 and lcfg.height < SSIM_HALO:
+        raise ValueError(
+            f"tile bands of {lcfg.height} rows are shorter than the SSIM "
+            f"halo ({SSIM_HALO}); use fewer tile shards or ssim_weight=0"
+        )
+
+    def _halo_exchange(band):
+        """(h, W, C) -> (h + 2*SSIM_HALO, W, C) with neighbors' boundary
+        rows (zeros at the global top/bottom edge, = zero window padding)."""
+        up = jax.lax.ppermute(
+            band[-SSIM_HALO:], tile_axis,
+            [(i, i + 1) for i in range(n_tiles - 1)],
+        )
+        down = jax.lax.ppermute(
+            band[:SSIM_HALO], tile_axis,
+            [(i, i - 1) for i in range(1, n_tiles)],
+        )
+        return jnp.concatenate([up, band, down], axis=0)
 
     def per_chip_loss(scene, cameras, targets):
         tile_idx = jax.lax.axis_index(tile_axis)
@@ -86,29 +114,36 @@ def make_sharded_train_step(
         mask = ((ys[:, None] < cfg.height) & (xs[None, :] < cfg.width))[..., None]
 
         def one_view(camera, target_band):
-            img, _, _ = _render_local_tiles(
+            img, _, ovf = _render_local_tiles(
                 scene, camera, cfg, lcfg, tile_idx, tile_axis
             )
             # Masked L1, normalized by the TRUE pixel count so the psum over
             # tile bands reconstructs the full-image mean exactly.
             loss = jnp.sum(jnp.abs(img - target_band) * mask) / true_pixels
             if ssim_weight > 0.0:
-                # Per-band SSIM (windows are not stitched across band
-                # boundaries -- a documented approximation of global SSIM).
-                from gsplat_tpu.train.losses import ssim
-
-                loss = (1.0 - ssim_weight) * loss + (ssim_weight / n_tiles) * (
-                    1.0 - ssim(img * mask, target_band * mask)
+                # Exact distributed SSIM: extend both bands by the halo rows
+                # (masked first, so out-of-image pixels are zero exactly as
+                # in the single-device path), evaluate the SSIM map, keep
+                # only this band's own rows, and normalize by the global
+                # pixel count -- the psum over bands then reconstructs
+                # jnp.mean(ssim_map(full_pred, full_target)) bit-for-bit up
+                # to reduction order.
+                ext_a = _halo_exchange(img * mask)
+                ext_b = _halo_exchange(target_band * mask)
+                smap = ssim_map(ext_a, ext_b)[SSIM_HALO : SSIM_HALO + lcfg.height]
+                ssim_partial = jnp.sum(smap * mask) / true_pixels
+                loss = (1.0 - ssim_weight) * loss + ssim_weight * (
+                    1.0 / n_tiles - ssim_partial
                 )
-            return loss
+            return loss, ovf
 
-        losses = jax.vmap(one_view)(cameras, targets)
-        return jnp.mean(losses)
+        losses, ovf = jax.vmap(one_view)(cameras, targets)
+        return jnp.mean(losses), jnp.any(ovf)
 
     def shard_fn(state: TrainState, cameras, targets):
-        loss, grads = jax.value_and_grad(per_chip_loss)(
-            state.scene, cameras, targets
-        )
+        (loss, overflow), grads = jax.value_and_grad(
+            per_chip_loss, has_aux=True
+        )(state.scene, cameras, targets)
         # Mean over data shards, sum over tile shards (each tile band is a
         # disjoint part of every image's loss). The psum is issued inside
         # shard_map: XLA overlaps it with the optimizer update & remaining
@@ -117,9 +152,21 @@ def make_sharded_train_step(
         grads = jax.lax.pmean(grads, data_axis)
         loss = jax.lax.psum(loss, tile_axis)
         loss = jax.lax.pmean(loss, data_axis)
+        # Any shard's stream saturating truncates gradients; surface it in
+        # the step metrics so the caller can abort/resize (train/loop.py's
+        # overflow_policy consumes the single-device analogue).
+        overflow = (
+            jax.lax.pmax(
+                jax.lax.pmax(overflow.astype(jnp.int32), tile_axis), data_axis
+            )
+            > 0
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
-        return TrainState(scene, opt_state, state.step + 1), {"loss": loss}
+        return TrainState(scene, opt_state, state.step + 1), {
+            "loss": loss,
+            "overflow": overflow,
+        }
 
     state_spec = P()
     fn = jax.shard_map(

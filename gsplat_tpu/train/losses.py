@@ -46,8 +46,14 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     return x[:, 0].transpose(1, 2, 0)
 
 
-def ssim(a: jnp.ndarray, b: jnp.ndarray, c1: float = 0.01**2, c2: float = 0.03**2):
-    """Mean SSIM over an (H, W, C) pair in [0, 1]."""
+SSIM_HALO = 5  # 11x11 window reach: rows this far outside a region affect it
+
+
+def ssim_map(a: jnp.ndarray, b: jnp.ndarray, c1: float = 0.01**2, c2: float = 0.03**2):
+    """Per-pixel SSIM map over an (H, W, C) pair in [0, 1] (zero-padded
+    window stats at the borders, matching the graphdeco conv2d padding).
+    Exposed separately from the mean so the tile-sharded trainer can halo-
+    exchange SSIM_HALO boundary rows and reduce the exact global mean."""
     w = _gaussian_window()
     mu_a = _blur(a, w)
     mu_b = _blur(b, w)
@@ -57,10 +63,14 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, c1: float = 0.01**2, c2: float = 0.03**
     sigma_aa = _blur(a * a, w) - mu_aa
     sigma_bb = _blur(b * b, w) - mu_bb
     sigma_ab = _blur(a * b, w) - mu_ab
-    s = ((2 * mu_ab + c1) * (2 * sigma_ab + c2)) / (
+    return ((2 * mu_ab + c1) * (2 * sigma_ab + c2)) / (
         (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)
     )
-    return jnp.mean(s)
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, c1: float = 0.01**2, c2: float = 0.03**2):
+    """Mean SSIM over an (H, W, C) pair in [0, 1]."""
+    return jnp.mean(ssim_map(a, b, c1, c2))
 
 
 def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

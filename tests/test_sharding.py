@@ -100,7 +100,7 @@ def test_sharded_loss_matches_single_device():
     targets = jnp.stack([target] * 2)
 
     optimizer = make_optimizer(lr=0.0)  # lr 0: state unchanged, read loss only
-    step = make_sharded_train_step(CFG, mesh, optimizer)
+    step = make_sharded_train_step(CFG, mesh, optimizer, ssim_weight=0.0)
     state = init_train_state(scene, optimizer)
     cams_s, targets_s = shard_batch(cams, targets, mesh)
     _, metrics = step(state, cams_s, targets_s)
@@ -108,6 +108,40 @@ def test_sharded_loss_matches_single_device():
     ref = render(scene, cam, CFG)
     ref_loss = float(jnp.mean(jnp.abs(ref.image - target)))
     assert abs(float(metrics["loss"]) - ref_loss) < 1e-5
+
+
+@pytest.mark.parametrize("n_tiles", [2, 4])
+def test_sharded_ssim_matches_single(n_tiles):
+    """Exact distributed SSIM: the default (1-w)*L1 + w*DSSIM objective
+    under tile sharding equals the single-device rgb_loss -- the halo
+    exchange must reconstruct every 11x11 window across band boundaries."""
+    from gsplat_tpu.train.losses import rgb_loss
+
+    mesh = make_mesh({"data": 2, "tiles": n_tiles})
+    scene = random_scene(jax.random.key(5), 120, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = jax.random.uniform(jax.random.key(6), (CFG.height, CFG.width, 3))
+    cams = jax.tree.map(lambda x: jnp.stack([x] * 2), cam)
+    targets = jnp.stack([target] * 2)
+
+    optimizer = make_optimizer(lr=0.0)
+    step = make_sharded_train_step(CFG, mesh, optimizer)  # default w=0.2
+    state = init_train_state(scene, optimizer)
+    cams_s, targets_s = shard_batch(cams, targets, mesh)
+    _, metrics = step(state, cams_s, targets_s)
+    assert not bool(metrics["overflow"])
+
+    ref = render(scene, cam, CFG)
+    ref_loss = float(rgb_loss(ref.image, target, ssim_weight=0.2))
+    assert abs(float(metrics["loss"]) - ref_loss) < 1e-5
+
+
+def test_sharded_ssim_rejects_short_bands():
+    """Bands shorter than the SSIM halo can't reconstruct the windows."""
+    cfg = dataclasses.replace(CFG, width=32, height=32, tile_size=4)
+    mesh = make_mesh({"tiles": 8})  # 4-row bands < SSIM_HALO rows
+    with pytest.raises(ValueError, match="halo"):
+        make_sharded_train_step(cfg, mesh, make_optimizer(1e-2))
 
 
 def test_multihost_helpers_single_process():

@@ -73,7 +73,14 @@ def compute_cov3d(log_scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: f
     return m @ jnp.swapaxes(m, -1, -2)  # R S^2 R^T
 
 
-def project_gaussians(scene, camera: Camera, cfg: RenderConfig) -> ProjectedGaussians:
+def project_gaussians(
+    scene, camera: Camera, cfg: RenderConfig, uv_tap=None
+) -> ProjectedGaussians:
+    """uv_tap: optional (N, 2) zeros added to the screen-space uv -- a
+    gradient tap. d loss / d uv_tap is the exact screen-space positional
+    gradient (the densification trigger of Kerbl et al. section 5.2, which
+    the CUDA original reads off means2D.grad). Zero-valued, so the rendered
+    image is unchanged."""
     n = scene.means.shape[0]
     pos = scene.means  # (N, 3)
 
@@ -92,6 +99,8 @@ def project_gaussians(scene, camera: Camera, cfg: RenderConfig) -> ProjectedGaus
         & (jnp.abs(ndc[:, 1]) < lim)
     )
     uv = ndc * 0.5 + 0.5
+    if uv_tap is not None:
+        uv = uv + uv_tap  # zeros; every downstream use contributes to d/d_tap
 
     # EWA 2D covariance, fully unrolled into (N,)-vector arithmetic: the
     # naive formulation is a batch of 2x3 / 3x3 dot_generals whose tiny

@@ -42,8 +42,9 @@ def render(
     camera: Camera,
     cfg: RenderConfig,
     background: jnp.ndarray | None = None,
+    uv_tap: jnp.ndarray | None = None,
 ) -> RenderOutput:
-    proj = project_gaussians(scene, camera, cfg)
+    proj = project_gaussians(scene, camera, cfg, uv_tap=uv_tap)
     binned = bin_gaussians(proj, cfg)
     features = gather_features(proj, binned, cfg)
 

@@ -12,10 +12,13 @@ problem -- the same cumsum-rank compaction the tiered binning uses, no
 dynamic shapes, no host round-trips.
 
 Design:
-  - a DensifyState accumulates per-Gaussian mean-gradient norms between
-    densification rounds (the standard trigger signal; we use the world-
-    space mean gradient, a documented divergence from the CUDA original's
-    screen-space one -- same fixed points up to projection scale).
+  - a DensifyState accumulates per-Gaussian SCREEN-SPACE positional
+    gradient norms between densification rounds, normalized by the number
+    of steps each Gaussian was visible -- exactly the Kerbl section 5.2
+    trigger (the CUDA original reads means2D.grad and divides by a
+    visibility denom). The screen gradient comes from the uv_tap in
+    project_gaussians (d loss / d tap), converted to NDC units
+    (d/d_ndc = 0.5 * d/d_uv) so the standard 2e-4 threshold applies.
   - densify_and_prune(): one jitted call that
       prune:  opacity < min_opacity -> slot freed,
       split:  trigger & max scale > split_size -> two children at scale/1.6,
@@ -42,22 +45,38 @@ DEAD_LOG_SCALE = -10.0
 
 @struct.dataclass
 class DensifyState:
-    grad_accum: jnp.ndarray   # (C,) accumulated ||dL/dmean|| over the window
+    grad_accum: jnp.ndarray   # (C,) accumulated ||dL/d_ndc_xy|| over window
     count: jnp.ndarray        # () int32 steps accumulated
+    visit_count: jnp.ndarray  # (C,) int32 steps each Gaussian was visible
 
 
 def init_densify_state(capacity: int) -> DensifyState:
     return DensifyState(
         grad_accum=jnp.zeros((capacity,), jnp.float32),
         count=jnp.zeros((), jnp.int32),
+        visit_count=jnp.zeros((capacity,), jnp.int32),
     )
 
 
-def accumulate_grads(state: DensifyState, mean_grads: jnp.ndarray) -> DensifyState:
-    """Add this step's per-Gaussian mean-gradient norms to the window."""
+def accumulate_grads(
+    state: DensifyState, screen_grads: jnp.ndarray, visible=None
+) -> DensifyState:
+    """Add this step's per-Gaussian screen-space gradient norms.
+
+    screen_grads: (C, 2) d loss / d uv_tap (summed over the view batch by
+    autodiff); converted here to NDC units. visible: (C,) bool/int -- steps
+    where the Gaussian touched at least one tile (the CUDA original's
+    radii > 0 denom); defaults to every step."""
+    norm = 0.5 * jnp.linalg.norm(screen_grads, axis=-1)  # d/d_ndc units
+    vis = (
+        jnp.ones_like(state.visit_count)
+        if visible is None
+        else visible.astype(jnp.int32)
+    )
     return DensifyState(
-        grad_accum=state.grad_accum + jnp.linalg.norm(mean_grads, axis=-1),
+        grad_accum=state.grad_accum + norm,
         count=state.count + 1,
+        visit_count=state.visit_count + vis,
     )
 
 
@@ -78,7 +97,9 @@ def densify_and_prune(
     All shapes static (capacity C preserved); fully jittable.
     """
     c = scene.num_gaussians
-    avg_grad = state.grad_accum / jnp.maximum(state.count, 1).astype(jnp.float32)
+    avg_grad = state.grad_accum / jnp.maximum(
+        state.visit_count, 1
+    ).astype(jnp.float32)
     alive = alive_mask(scene, min_opacity)
     max_scale = jnp.exp(jnp.max(scene.log_scales, axis=-1))
 
@@ -169,6 +190,15 @@ def densify_and_prune(
         sh=place(killed.sh, scene.sh[:, None].repeat(2, 1)),
     )
 
+    # Slots whose CONTENT changed this round: killed (pruned or split
+    # parents) or overwritten by a child. Optimizer moments of every other
+    # slot are still valid -- the Kerbl implementation preserves Adam state
+    # for surviving Gaussians and only zero-inits new ones.
+    received = (
+        jnp.zeros((c + 1,), bool).at[dest].set(True, mode="drop")[:c]
+    )
+    changed = dead | received
+
     stats = dict(
         num_alive=jnp.sum(alive_mask(new_scene, min_opacity)),
         num_split=jnp.sum(split),
@@ -176,7 +206,37 @@ def densify_and_prune(
         num_free_before=num_free,
         saturated=saturated,
     )
-    return new_scene, init_densify_state(c), stats
+    return new_scene, init_densify_state(c), changed, stats
+
+
+def mask_opt_moments(opt_state, changed: jnp.ndarray):
+    """Zero optimizer moments (any per-slot leaf) at `changed` slots,
+    preserving them everywhere else. Works on any optax state pytree: a
+    leaf is per-slot iff its leading dim equals the capacity."""
+    c = changed.shape[0]
+    keep = (~changed).astype(jnp.float32)
+
+    def f(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == c:
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                return leaf * keep.reshape((c,) + (1,) * (leaf.ndim - 1)).astype(
+                    leaf.dtype
+                )
+        return leaf
+
+    return jax.tree.map(f, opt_state)
+
+
+def reset_opacity(scene: GaussianScene, ceiling: float = 0.01) -> GaussianScene:
+    """Periodic opacity reset (Kerbl section 5.2: clamp opacity below a
+    small ceiling every ~3k steps so the ADC prune can cull floaters that
+    the optimizer has pushed opaque). Dead slots stay dead."""
+    cap = jnp.float32(jnp.log(ceiling) - jnp.log1p(-ceiling))  # logit(ceiling)
+    new_logits = jnp.minimum(scene.opacity_logits, cap)
+    dead = scene.opacity_logits <= DEAD_OPACITY_LOGIT
+    return scene.replace(
+        opacity_logits=jnp.where(dead, scene.opacity_logits, new_logits)
+    )
 
 
 def _quat_rotmat(quats):

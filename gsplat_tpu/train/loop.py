@@ -35,36 +35,76 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
     """Single-device train step over a batch of (cameras, targets).
 
     Returns step(state, cameras, targets) ->
-    (state, loss, aux, mean_grads) where aux carries the batch-aggregated
-    capacity diagnostics ({"overflow", "num_intersections"}): a saturated
-    stream silently truncates gradients, so `fit` refuses to train through
-    it (overflow_policy)."""
+    (state, loss, aux, (screen_grads, visible)):
+      aux: batch-aggregated capacity diagnostics ({"overflow",
+           "num_intersections"}) -- a saturated stream silently truncates
+           gradients, so `fit` refuses to train through it (overflow_policy).
+      screen_grads: (N, 2) d loss / d uv_tap -- the exact screen-space
+           positional gradient (Kerbl section 5.2 densification trigger).
+      visible: (N,) bool, Gaussian touched >= 1 tile in >= 1 view this step
+           (the CUDA original's radii > 0 visibility denominator)."""
+    from gsplat_tpu.ops.projection import project_gaussians
 
-    def loss_fn(scene, cameras, targets):
+    def loss_fn(scene, tap, cameras, targets):
         def one(camera, target):
-            out = render(scene, camera, cfg)
+            out = render(scene, camera, cfg, uv_tap=tap)
+            # Same projection call as inside render (CSE'd by XLA); counts>0
+            # is the "touched a tile" visibility the ADC denom wants.
+            proj = project_gaussians(scene, camera, cfg, uv_tap=tap)
             return (
                 rgb_loss(out.image, target, ssim_weight),
                 out.overflow,
                 out.num_intersections,
+                jax.lax.stop_gradient(proj.counts > 0),
             )
 
-        losses, ovf, n_int = jax.vmap(one)(cameras, targets)
+        losses, ovf, n_int, vis = jax.vmap(one)(cameras, targets)
         return jnp.mean(losses), {
             "overflow": jnp.any(ovf),
             "num_intersections": jnp.max(n_int),
+            "visible": jnp.any(vis, axis=0),
         }
 
     @jax.jit
     def step(state: TrainState, cameras, targets):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.scene, cameras, targets
-        )
+        tap = jnp.zeros((state.scene.num_gaussians, 2), jnp.float32)
+        (loss, aux), (grads, tap_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.scene, tap, cameras, targets)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
-        return TrainState(scene, opt_state, state.step + 1), loss, aux, grads.means
+        visible = aux.pop("visible")
+        return (
+            TrainState(scene, opt_state, state.step + 1),
+            loss,
+            aux,
+            (tap_grads, visible),
+        )
 
     return step
+
+
+def _zero_opacity_moments(opt_state, capacity: int):
+    """Zero the opacity-group moments inside a multi_transform state (the
+    CUDA original resets the opacity optimizer state alongside the opacity
+    reset). Falls back to a no-op for optimizers without that structure."""
+    inner = getattr(opt_state, "inner_states", None)
+    if not isinstance(inner, dict) or "opacity_logits" not in inner:
+        return opt_state
+
+    def f(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] == capacity
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+        ):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    new_inner = dict(inner)
+    new_inner["opacity_logits"] = jax.tree.map(f, inner["opacity_logits"])
+    return opt_state._replace(inner_states=new_inner)
 
 
 def fit(
@@ -87,12 +127,19 @@ def fit(
     densify_until: int | None = None,
     metrics_csv: str | None = None,
     overflow_policy: str = "raise",
+    opacity_reset_every: int = 0,
 ):
     """Returns (trained scene, metrics list).
 
     densify_every > 0 enables adaptive density control (train/densify.py):
-    the scene must carry free capacity (GaussianScene.pad_to); optimizer
-    moments are re-initialized after each densification round (slots moved).
+    the scene must carry free capacity (GaussianScene.pad_to). The trigger
+    is the screen-space positional gradient averaged over visible steps
+    (Kerbl section 5.2); Adam moments are PRESERVED for slots that survive
+    a densification round and zeroed only for killed/new slots.
+
+    opacity_reset_every > 0 clamps opacities below 0.01 every that many
+    steps (and zeroes the opacity Adam moments), letting the next prune
+    round cull floaters -- Kerbl section 5.2's periodic opacity reset.
 
     overflow_policy: what to do when the intersection stream / tier pools
     saturate (which silently truncates gradients):
@@ -110,6 +157,7 @@ def fit(
         raise ValueError(f"unknown overflow_policy {overflow_policy!r}")
     from gsplat_tpu.train.densify import (
         accumulate_grads, densify_and_prune, init_densify_state,
+        mask_opt_moments, reset_opacity,
     )
 
     optimizer = make_optimizer(lr)
@@ -152,19 +200,36 @@ def fit(
         sel = rng.integers(0, num_views, size=batch)
         cams_b = jax.tree.map(lambda x: x[sel], cameras)
         targets_b = targets[sel]
-        state, loss, aux, mean_grads = step_fn(state, cams_b, targets_b)
+        state, loss, aux, (screen_grads, visible) = step_fn(
+            state, cams_b, targets_b
+        )
         ovf_any = ovf_any | aux["overflow"]
         int_max = jnp.maximum(int_max, aux["num_intersections"])
         if densify_every:
-            dstate = accumulate_grads(dstate, mean_grads)
+            dstate = accumulate_grads(dstate, screen_grads, visible)
             until = densify_until if densify_until is not None else steps // 2
             if (it + 1) % densify_every == 0 and it + 1 <= until:
-                new_scene, dstate, dstats = densify_fn(state.scene, dstate)
+                new_scene, dstate, changed, dstats = densify_fn(
+                    state.scene, dstate
+                )
+                # Moments survive for untouched slots; only killed/new slots
+                # start cold (matches the CUDA original's cat_tensors /
+                # prune_optimizer bookkeeping).
                 state = TrainState(
-                    new_scene, optimizer.init(new_scene), state.step
+                    new_scene,
+                    mask_opt_moments(state.opt_state, changed),
+                    state.step,
                 )
                 print({k: int(v) if k != "saturated" else bool(v)
                        for k, v in dstats.items()} | {"densify_at": it + 1})
+        if opacity_reset_every and (it + 1) % opacity_reset_every == 0 \
+                and it + 1 < steps:
+            state = TrainState(
+                reset_opacity(state.scene),
+                _zero_opacity_moments(state.opt_state,
+                                      state.scene.num_gaussians),
+                state.step,
+            )
         if (it + 1) % log_every == 0 or it + 1 == steps:
             check_overflow(it + 1)
             loss = float(loss)

@@ -25,7 +25,7 @@ def test_prune_transparent():
         opacity_logits=scene.opacity_logits.at[0:2].set(-10.0)  # ~4.5e-5
     )
     state = init_densify_state(16)
-    out, _, stats = jax.jit(densify_and_prune)(scene, state)
+    out, _, _, stats = jax.jit(densify_and_prune)(scene, state)
     assert int(stats["num_alive"]) == 6
     assert float(out.opacity_logits[0]) == DEAD_OPACITY_LOGIT
 
@@ -40,10 +40,10 @@ def test_split_and_clone():
         opacity_logits=scene.opacity_logits.at[:4].set(2.0),
     )
     state = init_densify_state(cap)
-    grads = jnp.zeros((cap, 3)).at[0].set(1.0).at[1].set(1.0)
+    grads = jnp.zeros((cap, 2)).at[0].set(1.0).at[1].set(1.0)
     state = accumulate_grads(state, grads)
 
-    out, fresh, stats = jax.jit(densify_and_prune)(scene, state)
+    out, fresh, changed, stats = jax.jit(densify_and_prune)(scene, state)
     assert int(stats["num_split"]) == 1
     assert int(stats["num_clone"]) == 1
     assert not bool(stats["saturated"])
@@ -65,8 +65,8 @@ def test_saturation_flag():
     cap = 4  # no free slots at all
     scene = _scene_with_capacity(4, cap)
     scene = scene.replace(opacity_logits=jnp.full((cap,), 2.0))
-    state = accumulate_grads(init_densify_state(cap), jnp.ones((cap, 3)))
-    out, _, stats = jax.jit(densify_and_prune)(scene, state)
+    state = accumulate_grads(init_densify_state(cap), jnp.ones((cap, 2)))
+    out, _, _, stats = jax.jit(densify_and_prune)(scene, state)
     assert bool(stats["saturated"])
 
 
@@ -80,18 +80,95 @@ def test_densified_scene_still_renders_and_trains():
     cap = 64
     scene = _scene_with_capacity(20, cap)
     cam = Camera.default(32, 32)
-    state = accumulate_grads(
-        init_densify_state(cap),
-        jax.grad(lambda s: render_loss(
-            s, cam, jnp.zeros((32, 32, 3)), cfg))(scene).means,
-    )
-    out, _, stats = jax.jit(
+
+    # The real screen-space trigger path: d loss / d uv_tap.
+    def loss_of_tap(tap):
+        out = render(scene, cam, cfg, uv_tap=tap)
+        return jnp.mean(jnp.abs(out.image))
+
+    tap_grads = jax.grad(loss_of_tap)(jnp.zeros((cap, 2)))
+    state = accumulate_grads(init_densify_state(cap), tap_grads)
+    out, _, _, stats = jax.jit(
         lambda s, st: densify_and_prune(s, st, grad_threshold=0.0)
     )(scene, state)
     img = render(out, cam, cfg).image
     assert np.isfinite(np.asarray(img)).all()
     g = jax.grad(lambda s: render_loss(s, cam, jnp.zeros((32, 32, 3)), cfg))(out)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_moments_survive_densify():
+    """Adam moments of untouched slots survive a densification round;
+    killed/new slots start cold (Kerbl's cat_tensors/prune bookkeeping)."""
+    import optax
+
+    from gsplat_tpu.train.densify import mask_opt_moments
+
+    cap = 16
+    scene = _scene_with_capacity(8, cap)
+    # Slot 0 transparent -> pruned (changed); slots 1..7 quiet (survive).
+    scene = scene.replace(
+        opacity_logits=scene.opacity_logits.at[0].set(-10.0)
+    )
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(scene)
+    # Fake nonzero moments: one update with all-ones grads.
+    ones = jax.tree.map(jnp.ones_like, scene)
+    _, opt_state = opt.update(ones, opt_state, scene)
+
+    state = init_densify_state(cap)  # no grads -> no split/clone
+    new_scene, _, changed, _ = jax.jit(densify_and_prune)(scene, state)
+    masked = mask_opt_moments(opt_state, changed)
+
+    mu_before = jax.tree.leaves(opt_state)[0]  # some (cap, ...) moment leaf
+    # find the means mu leaf in both states
+    def find_means_mu(st):
+        for leaf in jax.tree.leaves(st):
+            if hasattr(leaf, "shape") and leaf.shape == scene.means.shape:
+                return leaf
+        raise AssertionError("no per-slot moment leaf found")
+
+    before = np.asarray(find_means_mu(opt_state))
+    after = np.asarray(find_means_mu(masked))
+    ch = np.asarray(changed)
+    assert ch[0] and not ch[1:8].any()
+    # survivors keep their moments bit-exactly; changed slots are zeroed
+    np.testing.assert_array_equal(after[~ch], before[~ch])
+    assert (after[ch] == 0).all()
+
+
+def test_opacity_reset():
+    from gsplat_tpu.train.densify import DEAD_OPACITY_LOGIT, reset_opacity
+
+    cap = 8
+    scene = _scene_with_capacity(4, cap)
+    scene = scene.replace(
+        opacity_logits=jnp.array([5.0, -1.0, 2.0, 0.0] + [-30.0] * 4)
+    )
+    out = reset_opacity(scene, ceiling=0.01)
+    sig = np.asarray(jax.nn.sigmoid(out.opacity_logits[:4]))
+    assert (sig <= 0.01 + 1e-6).all()
+    # already-below logits untouched, dead slots stay dead
+    assert float(out.opacity_logits[1]) == -1.0 or sig[1] <= 0.01
+    np.testing.assert_array_equal(
+        np.asarray(out.opacity_logits[4:]), np.full(4, DEAD_OPACITY_LOGIT)
+    )
+
+
+def test_visibility_normalized_trigger():
+    """avg grad divides by per-Gaussian visible-step count, not total steps."""
+    cap = 4
+    st = init_densify_state(cap)
+    g = jnp.full((cap, 2), 1.0)
+    vis_a = jnp.array([True, True, False, False])
+    vis_b = jnp.array([True, False, False, False])
+    st = accumulate_grads(st, g, vis_a)
+    st = accumulate_grads(st, jnp.zeros((cap, 2)), vis_b)
+    avg = np.asarray(st.grad_accum / np.maximum(np.asarray(st.visit_count), 1))
+    norm1 = 0.5 * np.sqrt(2.0)
+    # slot 0: one grad over two visible steps; slot 1: one grad over one step
+    assert abs(avg[0] - norm1 / 2) < 1e-6
+    assert abs(avg[1] - norm1) < 1e-6
 
 
 def test_fit_with_densification_reduces_loss():

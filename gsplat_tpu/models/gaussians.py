@@ -108,3 +108,82 @@ def random_scene(
         opacity_logits=opacity_logits.astype(jnp.float32),
         sh=sh.astype(jnp.float32),
     )
+
+
+def realistic_scene(
+    key: jax.Array,
+    num: int,
+    sh_degree: int = 3,
+    extent: float = 1.0,
+    depth_range: tuple = (2.0, 20.0),
+    log_scale_mu: float = -4.2,
+    log_scale_sigma: float = 1.0,
+    aniso_sigma: float = 0.6,
+    fat_fraction: float = 0.02,
+    fat_log_scale_mu: float = -1.6,
+) -> GaussianScene:
+    """Heavy-tailed synthetic scene matching the statistics of real
+    graphdeco captures (garden/bicycle-style), which `random_scene`'s
+    uniform small-splat distribution does not: trained 3DGS scenes have
+
+      - LOG-NORMAL scale distribution with a fat tail of large background/
+        sky splats (here: log-scale ~ N(mu, sigma) per splat plus per-axis
+        anisotropy noise, and a `fat_fraction` mixture component of huge
+        splats at `fat_log_scale_mu`) -- these dominate the intersection
+        stream and stress the tiered-binning pool budgets and K_max;
+      - BIMODAL opacity (the densify/prune cycle pushes splats toward
+        transparent-or-opaque): 35% at logit U(-4, -1), 65% at U(0.5, 6) --
+        exercising the opacity-aware AABB tightening and exact tile cull;
+      - LOG-UNIFORM depth (dense foreground, long thin background tail).
+
+    The reference's PLY loader exists solely to view such scenes
+    (reference: src/ply.ts:140-198); this generator reproduces their load
+    profile without shipping a half-GB capture in the repo."""
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    # Log-uniform depth: p(z) ~ 1/z over [near, far].
+    u = jax.random.uniform(k1, (num, 1))
+    z = depth_range[0] * jnp.exp(
+        u * jnp.log(depth_range[1] / depth_range[0])
+    )
+    xy = jax.random.uniform(k2, (num, 2), minval=-extent, maxval=extent)
+    means = jnp.concatenate([xy * z / depth_range[0], z], axis=-1)
+
+    base = log_scale_mu + log_scale_sigma * jax.random.normal(k3, (num, 1))
+    fat = jax.random.uniform(k4, (num, 1)) < fat_fraction
+    base = jnp.where(
+        fat,
+        fat_log_scale_mu + 0.5 * jax.random.normal(jax.random.fold_in(k4, 1),
+                                                   (num, 1)),
+        base,
+    )
+    log_scales = base + aniso_sigma * jax.random.normal(k5, (num, 3))
+
+    quats = jax.random.normal(k6, (num, 4))
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+
+    k7a, k7b, k7c = jax.random.split(k7, 3)
+    low = jax.random.uniform(k7a, (num,), minval=-4.0, maxval=-1.0)
+    high = jax.random.uniform(k7b, (num,), minval=0.5, maxval=6.0)
+    opacity_logits = jnp.where(
+        jax.random.uniform(jax.random.fold_in(k7a, 1), (num,)) < 0.35,
+        low,
+        high,
+    )
+
+    K = num_sh_coeffs(sh_degree)
+    dc = jax.random.uniform(k7c, (num, 1, 3), minval=0.0, maxval=2.0)
+    if K > 1:
+        sh = jnp.concatenate(
+            [dc, 0.1 * jax.random.normal(jax.random.fold_in(k7c, 1),
+                                         (num, K - 1, 3))],
+            axis=1,
+        )
+    else:
+        sh = dc
+    return GaussianScene(
+        means=means.astype(jnp.float32),
+        log_scales=log_scales.astype(jnp.float32),
+        quats=quats.astype(jnp.float32),
+        opacity_logits=opacity_logits.astype(jnp.float32),
+        sh=sh.astype(jnp.float32),
+    )

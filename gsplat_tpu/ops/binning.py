@@ -375,6 +375,56 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
     )
 
 
+def tier_occupancy(proj: ProjectedGaussians, cfg: RenderConfig) -> dict:
+    """Capacity report for tiered binning on a given scene+camera: per-tier
+    membership vs budget, post-cull intersection total, and K_max pressure.
+    Host-side diagnostic (not jitted into the render path) backing the
+    realistic-scene capacity validation -- run via scripts/scene_report.py.
+
+    Returns {"tiers": [{k_lo, k_hi, budget, members, occupancy}...],
+             "num_intersections", "suggested_max_intersections",
+             "rect_overflow" (some rect exceeded K_max -- raise K_max),
+             "count_quantiles" (post-cull tiles/Gaussian distribution)}."""
+    import numpy as np
+
+    n = proj.mask.shape[0]
+    kmax = cfg.max_tiles_per_gaussian
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _counts(proj, cfg):
+        rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
+        valid_all = _rect_cull_mask(proj, cfg, n, kmax, rect_w)
+        return jnp.sum(valid_all, axis=1).astype(jnp.int32)
+
+    counts = np.asarray(_counts(proj, cfg))
+    tiers = _normalize_tier_plan(cfg.tier_spec, kmax, n)
+    rows = []
+    for k_lo, k_hi, budget in tiers:
+        members = int((counts > k_lo).sum()) if budget is not None else n
+        rows.append(
+            dict(
+                k_lo=k_lo,
+                k_hi=k_hi,
+                budget=budget if budget is not None else n,
+                members=members,
+                occupancy=round(
+                    members / (budget if budget is not None else n), 4
+                ),
+            )
+        )
+    total = int(counts.sum())
+    return {
+        "tiers": rows,
+        "num_intersections": total,
+        "suggested_max_intersections": int(total * 1.15),
+        "rect_overflow": bool(proj.overflow),
+        "count_quantiles": {
+            str(q): int(np.quantile(counts, q))
+            for q in (0.5, 0.9, 0.99, 0.999, 1.0)
+        },
+    }
+
+
 def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
     """Expand each Gaussian into its K_max candidate (tile, depth, gid, k)
     tuples; entry k is valid iff the cull mask passes. Row-major walk of the

@@ -94,6 +94,14 @@ class RenderConfig:
     # in-range masks; block-0 read-modify-write in the backward), so this is
     # a debug/experiment knob only -- it pads the stream ~10-25%.
     stream_align: int = 0
+    # Gather-backward strategy (the slot-gradient -> per-Gaussian reduction):
+    # 'variadic': one 11-operand lax.sort carrying the gradient rows as sort
+    #             values -- fastest at runtime (50 ms vs 93 ms at 4.5M slots)
+    #             but the sort expander dominates cold compile (~19 min for
+    #             the full fwd+bwd graph at the bench shape).
+    # 'permute':  2-operand sort_key_val(gidk, iota) + one 2-D take of the
+    #             gradient rows -- ~40 ms/iter slower, compiles in minutes.
+    gather_backward: str = "variadic"
 
     # ---- derived (static) ----
     @property
@@ -129,6 +137,10 @@ class RenderConfig:
             raise ValueError(f"unknown binning mode {self.binning!r}")
         if self.impl not in ("jnp", "pallas"):
             raise ValueError(f"unknown impl {self.impl!r}")
+        if self.gather_backward not in ("variadic", "permute"):
+            raise ValueError(
+                f"unknown gather_backward {self.gather_backward!r}"
+            )
         if (
             self.impl == "pallas"
             and self.pixels_per_tile * self.pallas_block_size > 131072

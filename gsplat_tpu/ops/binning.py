@@ -676,8 +676,9 @@ def gather_features(
         gid = jnp.where(binned.sorted_gid < 0, feats.shape[1], binned.sorted_gid)
         return jnp.take(feats, gid, axis=1, mode="fill", fill_value=0.0)
     return _gather_slots(
-        cfg.max_tiles_per_gaussian, feats, binned.sorted_gid,
-        binned.sorted_gidk, binned.gauss_offsets, binned.gauss_counts,
+        cfg.max_tiles_per_gaussian, cfg.gather_backward, feats,
+        binned.sorted_gid, binned.sorted_gidk, binned.gauss_offsets,
+        binned.gauss_counts,
     )
 
 
@@ -691,8 +692,8 @@ def gather_features(
 # 2-D form wins everywhere despite the tempting microbenchmark.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_slots(kmax: int, feats, gid, gidk, offsets, counts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_slots(kmax: int, strategy: str, feats, gid, gidk, offsets, counts):
     """Gather per-Gaussian features into slot order with a sort-based VJP.
 
     The autodiff transpose of this gather is a scatter-add of max_I rows into
@@ -711,12 +712,13 @@ def _gather_slots(kmax: int, feats, gid, gidk, offsets, counts):
     return jnp.take(feats, g, axis=1, mode="fill", fill_value=0.0)
 
 
-def _gather_slots_fwd(kmax: int, feats, gid, gidk, offsets, counts):
-    out = _gather_slots(kmax, feats, gid, gidk, offsets, counts)
+def _gather_slots_fwd(kmax: int, strategy: str, feats, gid, gidk, offsets,
+                      counts):
+    out = _gather_slots(kmax, strategy, feats, gid, gidk, offsets, counts)
     return out, (gidk, offsets, counts)
 
 
-def _gather_slots_bwd(kmax: int, res, dslot):
+def _gather_slots_bwd(kmax: int, strategy: str, res, dslot):
     """Slot gradients -> per-Gaussian gradients without any scatter; see
     _gather_slots docstring. The run grouping comes straight from the gidk
     value (gid = gidk >> KBITS); no per-tier metadata is needed."""
@@ -724,19 +726,31 @@ def _gather_slots_bwd(kmax: int, res, dslot):
     f = dslot.shape[0]
     m_i = gidk.shape[0]
     key = jnp.where(gidk >= 0, gidk, jnp.int32(2**31 - 1))
-    # One variadic sort carrying the gradient rows as values, instead of
-    # sort_key_val + a (F, m_i) permutation gather: the 11-operand sort
-    # measures 50 ms vs 93 ms for sort+2-D-take at 4.5M slots (the
-    # permutation is mostly monotone, the worst case for the TPU gather).
-    sorted_all = jax.lax.sort(
-        (key,) + tuple(dslot[i] for i in range(f)), num_keys=1,
-        is_stable=False,  # valid keys are unique; no iota tiebreak operand
-    )
-    rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
-    # Stacking into (F, m_i) costs a 1-D -> tiled relayout (~19 ms in the
-    # profile) but keeping rows separate is far worse (10 unfused 1-D
-    # passes: 218 ms vs 82 ms measured end-to-end) -- the 2-D forms fuse.
-    x = jnp.stack(sorted_all[1:])  # (F, m_i), gid-major run order
+    if strategy == "permute":
+        # Compile-friendly variant (cfg.gather_backward='permute'): a
+        # 2-operand sort producing the permutation, then one (F, m_i) 2-D
+        # take. ~40 ms/iter slower than the variadic sort at 4.5M slots but
+        # skips the sort expander's 11-operand blowup that dominates the
+        # ~19-minute cold compile.
+        s_key, pos = jax.lax.sort_key_val(
+            key, jnp.arange(m_i, dtype=jnp.int32), is_stable=False
+        )
+        rows = jax.lax.shift_right_logical(s_key, jnp.int32(KBITS))
+        x = jnp.take(dslot, pos, axis=1)  # (F, m_i), gid-major run order
+    else:
+        # One variadic sort carrying the gradient rows as values, instead of
+        # sort_key_val + a (F, m_i) permutation gather: the 11-operand sort
+        # measures 50 ms vs 93 ms for sort+2-D-take at 4.5M slots (the
+        # permutation is mostly monotone, the worst case for the TPU gather).
+        sorted_all = jax.lax.sort(
+            (key,) + tuple(dslot[i] for i in range(f)), num_keys=1,
+            is_stable=False,  # valid keys are unique; no iota tiebreak operand
+        )
+        rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+        # Stacking into (F, m_i) costs a 1-D -> tiled relayout (~19 ms in the
+        # profile) but keeping rows separate is far worse (10 unfused 1-D
+        # passes: 218 ms vs 82 ms measured end-to-end) -- the 2-D forms fuse.
+        x = jnp.stack(sorted_all[1:])  # (F, m_i), gid-major run order
 
     s = 1
     while s < kmax and s < m_i:  # shifts >= m_i can't pair two slots

@@ -254,3 +254,29 @@ def test_nested_tier_plan_matches_packed(small_cfg, small_camera):
             np.asarray(getattr(g_t, name)), np.asarray(getattr(g_r, name)),
             rtol=1e-4, atol=1e-6, err_msg=name,
         )
+
+
+def test_gather_backward_permute_matches_variadic():
+    """cfg.gather_backward='permute' (compile-friendly 2-operand sort +
+    2-D take) must produce bit-identical gradients to the default variadic
+    sort -- both reduce the same slot gradients over the same runs."""
+    import dataclasses
+
+    import numpy as np
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg = RenderConfig(width=64, height=64, tile_size=8,
+                       max_intersections=1 << 13, max_tiles_per_gaussian=64,
+                       block_size=8, max_per_tile=256, binning="tiered",
+                       tier_spec=(8, 5, 64))
+    scene = random_scene(jax.random.key(11), 150, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(12), (64, 64, 3))
+
+    g_var = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    cfg_p = dataclasses.replace(cfg, gather_backward="permute")
+    g_perm = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_p)))(scene)
+    for a, b in zip(jax.tree.leaves(g_var), jax.tree.leaves(g_perm)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

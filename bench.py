@@ -21,6 +21,13 @@ def main():
     ap.add_argument("--data-shards", type=int, default=1)
     ap.add_argument("--mode", default=None, choices=[None, "fwd", "fwd_bwd"])
     ap.add_argument("--ssim-weight", type=float, default=0.0)
+    ap.add_argument("--scene", default="random", choices=["random", "realistic"])
+    ap.add_argument("--exact-grads", action="store_true",
+                    help="f32 gradient readout instead of the bf16 default")
+    ap.add_argument("--tier-spec", default=None,
+                    help="override, e.g. '4:0,8:2,16:6,32:25,64:50'")
+    ap.add_argument("--gather-backward", default=None,
+                    choices=["variadic", "permute", "c64"])
     args = ap.parse_args()
 
     import jax
@@ -43,7 +50,11 @@ def main():
     if on_tpu:
         # Tile 32 halves the intersection stream vs tile 16 (fewer tiles per
         # splat); the extra per-tile blend work is cheap MXU time. G=128
-        # keeps the backward blend block inside the VMEM budget.
+        # keeps the backward blend block inside the VMEM budget. The tier
+        # ladder is sized from the post-cull tile-count distribution at the
+        # bench camera (PROFILE.md: 8.6M candidate lanes vs 13.3M for the
+        # legacy (8,5,64) spec, with >=1.15x budget margin on BOTH the
+        # random and realistic scene distributions).
         kwargs = dict(
             num_gaussians=1_000_000,
             width=1920,
@@ -56,8 +67,11 @@ def main():
             block_size=32,
             max_per_tile=8192,
             binning="tiered",
-            tier_spec=(8, 5, 64),
+            tier_spec=((4, 0), (8, 2), (16, 6), (32, 25), (64, 50)),
             pallas_block_size=128,
+            gather_backward="c64",
+            grad_readout="f32" if args.exact_grads else "bf16",
+            scene_kind=args.scene,
         )
     else:
         kwargs = dict(
@@ -75,6 +89,13 @@ def main():
 
     if args.mode:
         kwargs["mode"] = args.mode
+    if args.gather_backward:
+        kwargs["gather_backward"] = args.gather_backward
+    if args.tier_spec:
+        kwargs["tier_spec"] = tuple(
+            tuple(int(y) for y in x.split(":")) if ":" in x else int(x)
+            for x in args.tier_spec.split(",")
+        )
     if args.sharded_tiles:
         kwargs.update(
             sharded_tiles=args.sharded_tiles,

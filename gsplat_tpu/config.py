@@ -101,7 +101,23 @@ class RenderConfig:
     #             the full fwd+bwd graph at the bench shape).
     # 'permute':  2-operand sort_key_val(gidk, iota) + one 2-D take of the
     #             gradient rows -- ~40 ms/iter slower, compiles in minutes.
+    # 'c64':      the variadic sort with f32 gradient rows PAIRED into
+    #             complex64 values: identical payload bytes and exact f32
+    #             results, but ceil(F/2)+1 operands instead of F+1 -- the
+    #             sort expander's compile blowup scales with operand count.
     gather_backward: str = "variadic"
+    # Final per-Gaussian gradient readout precision: 'f32' (exact) or 'bf16'
+    # (sums stay f32; only the result of each Gaussian's gradient is rounded
+    # to bf16 before the run-start take, halving the take's element count --
+    # the standard mixed-precision-trainer contract).
+    grad_readout: str = "f32"
+    # Per-run reduction of the gid-major gradient stream in the gather
+    # backward: 'doubling' = ceil(log2 K_max) masked shift+add passes in XLA
+    # (~6 full HBM round-trips of the (F, max_I) stream at K_max=64);
+    # 'pallas' = one-pass Pallas kernel doing the doubling in VMEM with a
+    # cross-block carry (ops/pallas/segsum.py). Identical sums up to
+    # f32 addition order. Interpreted on CPU via pallas_interpret.
+    segment_sum: str = "doubling"
 
     # ---- derived (static) ----
     @property
@@ -137,10 +153,14 @@ class RenderConfig:
             raise ValueError(f"unknown binning mode {self.binning!r}")
         if self.impl not in ("jnp", "pallas"):
             raise ValueError(f"unknown impl {self.impl!r}")
-        if self.gather_backward not in ("variadic", "permute"):
+        if self.gather_backward not in ("variadic", "permute", "c64"):
             raise ValueError(
                 f"unknown gather_backward {self.gather_backward!r}"
             )
+        if self.grad_readout not in ("f32", "bf16"):
+            raise ValueError(f"unknown grad_readout {self.grad_readout!r}")
+        if self.segment_sum not in ("doubling", "pallas"):
+            raise ValueError(f"unknown segment_sum {self.segment_sum!r}")
         if (
             self.impl == "pallas"
             and self.pixels_per_tile * self.pallas_block_size > 131072

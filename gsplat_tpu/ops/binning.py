@@ -47,8 +47,13 @@ FEAT_R = 5
 FEAT_G = 6
 FEAT_B = 7
 FEAT_OPACITY = 8
-FEAT_DEPTH = 9
-NUM_FEATURES = 10
+# Depth is deliberately NOT a gathered feature: the blend never reads it
+# (ordering is baked into the stream by the sort), and the two big gathers
+# plus the gather-backward sort all pay per-ELEMENT costs (PROFILE.md), so
+# every row is ~2.5 ms/iter at the 1080p/1M bench shape. The
+# Gaussian-sharded path gathers depth separately as a merge key
+# (parallel/gaussian_sharded.py _fragment_blocks).
+NUM_FEATURES = 9
 # Feature rows padded to a multiple of the TPU f32 sublane tile (8) so Pallas
 # DMA slices are tiling-aligned.
 PADDED_FEATURES = 16
@@ -309,55 +314,63 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
 
     tiers = _normalize_tier_plan(cfg.tier_spec, kmax, n)
 
-    all_ids = jnp.arange(n, dtype=jnp.int32)
+    # ONE count-descending ranking shared by every pool tier. Tier
+    # memberships are NESTED (counts > 16 implies counts > 8), so the
+    # members of ANY pool tier form a prefix of ids_by_count and budget
+    # selection is a static slice. This replaces the old per-tier
+    # member-mask + cumsum-rank + 1M-lane compaction sort (measured ~40
+    # ms/iter across 4 pools at the bench shape -- the per-tier machinery,
+    # not the row gathers, dominated). Overflow now drops the SMALLEST
+    # overflowing Gaussians instead of the highest-id ones.
+    pool_budgets = [b for _, _, b in tiers if b is not None]
+    if pool_budgets:
+        _, ids_by_count = jax.lax.sort_key_val(
+            -counts, jnp.arange(n, dtype=jnp.int32), is_stable=False
+        )
+        bmax = max(pool_budgets)
+        ids_pool = ids_by_count[:bmax]            # (bmax,) count-descending
+        # Row data gathered ONCE at the largest budget; smaller tiers slice.
+        pool_w = jnp.take(rect_w, ids_pool)
+        pool_x0 = jnp.take(proj.rect[:, 0], ids_pool)
+        pool_y0 = jnp.take(proj.rect[:, 1], ids_pool)
+        pool_depth = jnp.take(proj.depth, ids_pool)
+        pool_counts = jnp.take(counts, ids_pool)
 
     tiles_l, depth_l, gid_l, kidx_l, valid_l = [], [], [], [], []
     pool_overflow = jnp.zeros((), bool)
     for k_lo, k_hi, budget in tiers:
-        if budget is None:
-            ids = all_ids
-        else:
-            member = counts > k_lo
-            rank = (jnp.cumsum(member) - 1).astype(jnp.int32)
-            pool_overflow = pool_overflow | (jnp.sum(member) > budget)
-            member = member & (rank < budget)
-            # Compaction by sort (members first, original order), not
-            # scatter: lax.sort_key_val is ~2x faster than a 1M-row
-            # .at[].set scatter on TPU. Member keys (= rank) are unique so
-            # stability is irrelevant; rows past the member count hold
-            # arbitrary non-members, whose tier candidates are all
-            # invalidated by the kk < counts test below.
-            key = jnp.where(member, rank, jnp.int32(2**30))
-            _, ids = jax.lax.sort_key_val(key, all_ids)
-            ids = ids[:budget]
         kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
-        ids_c = jnp.clip(ids, 0, n - 1)
         if budget is None:
             # Dense tier: rows ARE Gaussians -- no gathers. (An identity
             # jnp.take still costs per-element on TPU: ~40 ms for the
             # 1M x 8 dense tier, the single largest cost of the old path.)
+            ids_c = jnp.arange(n, dtype=jnp.int32)
             ck = compact_k[:, k_lo:k_hi]
             row_w = rect_w[:, None]
             row_x0, row_y0 = proj.rect[:, 0:1], proj.rect[:, 1:2]
             row_depth = proj.depth[:, None]
             row_counts = counts[:, None]
-            in_pool = jnp.ones((n, 1), bool)
         else:
+            # Prefix of the shared ranking. Rows past the true member count
+            # have counts <= k_lo, so every candidate kk in [k_lo, k_hi)
+            # fails kk < row_counts -- no member mask needed. Overflowing
+            # members (rank >= budget) are dropped and flagged.
+            pool_overflow = pool_overflow | (jnp.sum(counts > k_lo) > budget)
+            ids_c = ids_pool[:budget]
             # Slice the column range BEFORE the row gather (gather cost is
             # per-element, so gathering all K_max columns then slicing pays
             # K_max/k_range times the traffic), and jnp.take + basic slice,
             # NOT compact_k[ids_c, k_lo:k_hi]: the mixed advanced+slice form
             # lowers to a pathological TPU gather (80x).
             ck = jnp.take(compact_k[:, k_lo:k_hi], ids_c, axis=0)
-            row_w = jnp.take(rect_w, ids_c)[:, None]
-            row_x0 = jnp.take(proj.rect[:, 0], ids_c)[:, None]
-            row_y0 = jnp.take(proj.rect[:, 1], ids_c)[:, None]
-            row_depth = jnp.take(proj.depth, ids_c)[:, None]
-            row_counts = jnp.take(counts, ids_c)[:, None]
-            in_pool = ids[:, None] < n
+            row_w = pool_w[:budget, None]
+            row_x0 = pool_x0[:budget, None]
+            row_y0 = pool_y0[:budget, None]
+            row_depth = pool_depth[:budget, None]
+            row_counts = pool_counts[:budget, None]
         cky, ckx = _rect_divmod(ck, row_w)
         tile = (row_y0 + cky) * cfg.tiles_x + (row_x0 + ckx)
-        valid = in_pool & (kk < row_counts)
+        valid = kk < row_counts
         tiles_l.append(tile.reshape(-1))
         depth_l.append(jnp.broadcast_to(row_depth, tile.shape).reshape(-1))
         gid_l.append(jnp.broadcast_to(ids_c[:, None], tile.shape).reshape(-1))
@@ -665,7 +678,6 @@ def gather_features(
             proj.color[:, 1],
             proj.color[:, 2],
             proj.opacity,
-            proj.depth,
         ],
         axis=0,
     ).astype(jnp.float32)  # (F, N)
@@ -675,11 +687,32 @@ def gather_features(
         # production path).
         gid = jnp.where(binned.sorted_gid < 0, feats.shape[1], binned.sorted_gid)
         return jnp.take(feats, gid, axis=1, mode="fill", fill_value=0.0)
+    segsum = cfg.segment_sum
+    if segsum == "pallas" and cfg.pallas_interpret:
+        segsum = "pallas_interpret"
     return _gather_slots(
-        cfg.max_tiles_per_gaussian, cfg.gather_backward, feats,
-        binned.sorted_gid, binned.sorted_gidk, binned.gauss_offsets,
-        binned.gauss_counts,
+        cfg.max_tiles_per_gaussian, cfg.gather_backward, cfg.grad_readout,
+        segsum, feats, binned.sorted_gid, binned.sorted_gidk,
+        binned.gauss_offsets, binned.gauss_counts,
     )
+
+
+def _pack_bf16_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """(F, M) f32 -> (ceil(F/2), M) f32, each lane carrying two bf16-rounded
+    rows. Used to halve the per-ELEMENT cost of gathers/sorts over gradient
+    streams (PROFILE.md: element movement, not bandwidth, is the cost)."""
+    f, m = x.shape
+    if f % 2:
+        x = jnp.concatenate([x, jnp.zeros((1, m), x.dtype)])
+    b = jnp.moveaxis(x.astype(jnp.bfloat16).reshape(-1, 2, m), 1, -1)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)  # (pairs, M)
+
+
+def _unpack_bf16_pairs(p: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of _pack_bf16_pairs: (pairs, M) f32 -> (f, M) f32."""
+    b = jax.lax.bitcast_convert_type(p, jnp.bfloat16)  # (pairs, M, 2)
+    x = jnp.moveaxis(b, -1, 1).reshape(2 * p.shape[0], -1)
+    return x[:f].astype(jnp.float32)
 
 
 # NOTE on gather strategy (measured on v5e, 10 rows x 4.5M columns):
@@ -692,8 +725,9 @@ def gather_features(
 # 2-D form wins everywhere despite the tempting microbenchmark.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gather_slots(kmax: int, strategy: str, feats, gid, gidk, offsets, counts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _gather_slots(kmax: int, strategy: str, readout: str, segsum: str, feats,
+                  gid, gidk, offsets, counts):
     """Gather per-Gaussian features into slot order with a sort-based VJP.
 
     The autodiff transpose of this gather is a scatter-add of max_I rows into
@@ -712,13 +746,16 @@ def _gather_slots(kmax: int, strategy: str, feats, gid, gidk, offsets, counts):
     return jnp.take(feats, g, axis=1, mode="fill", fill_value=0.0)
 
 
-def _gather_slots_fwd(kmax: int, strategy: str, feats, gid, gidk, offsets,
-                      counts):
-    out = _gather_slots(kmax, strategy, feats, gid, gidk, offsets, counts)
+def _gather_slots_fwd(kmax: int, strategy: str, readout: str, segsum: str,
+                      feats, gid, gidk, offsets, counts):
+    out = _gather_slots(
+        kmax, strategy, readout, segsum, feats, gid, gidk, offsets, counts
+    )
     return out, (gidk, offsets, counts)
 
 
-def _gather_slots_bwd(kmax: int, strategy: str, res, dslot):
+def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
+                      res, dslot):
     """Slot gradients -> per-Gaussian gradients without any scatter; see
     _gather_slots docstring. The run grouping comes straight from the gidk
     value (gid = gidk >> KBITS); no per-tier metadata is needed."""
@@ -737,6 +774,27 @@ def _gather_slots_bwd(kmax: int, strategy: str, res, dslot):
         )
         rows = jax.lax.shift_right_logical(s_key, jnp.int32(KBITS))
         x = jnp.take(dslot, pos, axis=1)  # (F, m_i), gid-major run order
+    elif strategy == "c64":
+        # Pair the f32 gradient rows into complex64 sort values: same exact
+        # f32 payload, but ceil(F/2)+1 sort operands instead of F+1 -- the
+        # sort expander's cold-compile blowup scales with operand count
+        # (the 11-operand form dominates the ~19-minute compile), and the
+        # sorted bytes per lane are identical.
+        pairs = (f + 1) // 2
+        xpad = (
+            dslot if f % 2 == 0
+            else jnp.concatenate([dslot, jnp.zeros((1, m_i), dslot.dtype)])
+        )
+        cvals = jax.lax.complex(xpad[0::2], xpad[1::2])  # (pairs, m_i)
+        sorted_all = jax.lax.sort(
+            (key,) + tuple(cvals[i] for i in range(pairs)), num_keys=1,
+            is_stable=False,
+        )
+        rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+        cs = jnp.stack(sorted_all[1:])  # (pairs, m_i)
+        x = jnp.stack([jnp.real(cs), jnp.imag(cs)], axis=1).reshape(
+            2 * pairs, m_i
+        )[:f]
     else:
         # One variadic sort carrying the gradient rows as values, instead of
         # sort_key_val + a (F, m_i) permutation gather: the 11-operand sort
@@ -752,16 +810,39 @@ def _gather_slots_bwd(kmax: int, strategy: str, res, dslot):
         # passes: 218 ms vs 82 ms measured end-to-end) -- the 2-D forms fuse.
         x = jnp.stack(sorted_all[1:])  # (F, m_i), gid-major run order
 
-    s = 1
-    while s < kmax and s < m_i:  # shifts >= m_i can't pair two slots
-        rows_sh = jnp.concatenate([rows[s:], jnp.full((s,), -1, rows.dtype)])
-        same = (rows_sh == rows)[None, :].astype(x.dtype)
-        x_sh = jnp.concatenate([x[:, s:], jnp.zeros((f, s), x.dtype)], axis=1)
-        x = x + x_sh * same
-        s <<= 1
+    if segsum.startswith("pallas"):
+        # One-pass Pallas segmented suffix-sum (doubling done per-block in
+        # VMEM, cross-block runs chained through a carry) instead of
+        # log2(K_max) full-stream XLA passes. May return a block-padded
+        # stream; run starts are unaffected.
+        from gsplat_tpu.ops.pallas.segsum import segmented_suffix_sum
+
+        x = segmented_suffix_sum(
+            x, rows, kmax=kmax, interpret=segsum.endswith("interpret")
+        )
+    else:
+        s = 1
+        while s < kmax and s < m_i:  # shifts >= m_i can't pair two slots
+            rows_sh = jnp.concatenate(
+                [rows[s:], jnp.full((s,), -1, rows.dtype)]
+            )
+            same = (rows_sh == rows)[None, :].astype(x.dtype)
+            x_sh = jnp.concatenate(
+                [x[:, s:], jnp.zeros((f, s), x.dtype)], axis=1
+            )
+            x = x + x_sh * same
+            s <<= 1
 
     offs = jnp.clip(offsets, 0, m_i - 1)
-    dgauss = jnp.take(x, offs, axis=1)  # (F, N): run sum at run start
+    if readout == "bf16":
+        # Per-Gaussian sums bf16-rounded BEFORE the run-start take: halves
+        # the take's element count (the suffix sums are exact f32; only the
+        # final gradient is rounded, exactly like casting grads to bf16 in
+        # any mixed-precision trainer).
+        xp = _pack_bf16_pairs(x)
+        dgauss = _unpack_bf16_pairs(jnp.take(xp, offs, axis=1), f)
+    else:
+        dgauss = jnp.take(x, offs, axis=1)  # (F, N): run sum at run start
     dgauss = dgauss * (counts > 0)[None, :].astype(dgauss.dtype)
     return dgauss, None, None, None, None
 

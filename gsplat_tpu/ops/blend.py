@@ -256,7 +256,6 @@ def blend_block_bwd(
             d_cc[None],
             d_colors,
             d_op[None],
-            jnp.zeros_like(d_op)[None],  # depth: ordering only, no gradient
         ],
         axis=0,
     )

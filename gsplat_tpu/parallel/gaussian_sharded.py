@@ -131,7 +131,21 @@ def _fragment_blocks(proj, binned, cfg: RenderConfig, lcfg: RenderConfig,
         axis=0,
     )
     tile_blocks = jnp.where(valid, tile - dest * td, td).astype(jnp.int32)
-    depth_row = feat_blocks[-1]  # FEAT_DEPTH is the last feature row
+    # Depth is a merge-ordering key only (no longer a gathered feature row;
+    # ops/binning.py NUM_FEATURES note): gather it per slot explicitly,
+    # outside the differentiable path.
+    n = proj.depth.shape[0]
+    depth_slots = jnp.take(
+        jax.lax.stop_gradient(proj.depth),
+        jnp.clip(binned.sorted_gid, 0, n - 1),
+    )
+    depth_row = jnp.where(
+        valid,
+        jnp.take(
+            depth_slots, jnp.minimum(src_pos, depth_slots.shape[0] - 1)
+        ),
+        0.0,
+    )
     return feat_blocks, tile_blocks, depth_row, overflow
 
 

@@ -40,6 +40,8 @@ def run_bench(
     data_shards: int = 1,
     ssim_weight: float = 0.0,
     scene_kind: str = "random",
+    gather_backward: str | None = None,
+    grad_readout: str | None = None,
 ) -> dict:
     """sharded_tiles=N benches the tile-sharded distributed path on an
     N-device 'tiles' mesh (x data_shards-way data parallelism): the full
@@ -53,6 +55,10 @@ def run_bench(
         extra["tier_spec"] = tuple(tier_spec)
     if max_tiles_per_gaussian is not None:
         extra["max_tiles_per_gaussian"] = max_tiles_per_gaussian
+    if gather_backward is not None:
+        extra["gather_backward"] = gather_backward
+    if grad_readout is not None:
+        extra["grad_readout"] = grad_readout
     cfg = RenderConfig(
         width=width,
         height=height,

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--outdir", default="/tmp/jax-trace")
     ap.add_argument("--tier-spec", default="8,5,64")
     ap.add_argument("--gather-backward", default="variadic")
+    ap.add_argument("--grad-readout", default="f32")
     args = ap.parse_args()
 
     from gsplat_tpu.config import RenderConfig
@@ -42,6 +43,7 @@ def main():
         block_size=32, max_per_tile=8192, binning="tiered", impl="pallas",
         pallas_block_size=128, tier_spec=spec,
         gather_backward=args.gather_backward,
+        grad_readout=args.grad_readout,
     )
     scene = jax.device_put(random_scene(jax.random.key(0), 1_000_000, sh_degree=3))
     cam = Camera.default(cfg.width, cfg.height)

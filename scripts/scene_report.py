@@ -60,7 +60,10 @@ def main():
         block_size=32,
         max_per_tile=8192,
         binning="tiered",
-        tier_spec=tuple(int(x) for x in args.tier_spec.split(",")),
+        tier_spec=tuple(
+            tuple(int(y) for y in x.split(":")) if ":" in x else int(x)
+            for x in args.tier_spec.split(",")
+        ),
     )
     if args.ply:
         from gsplat_tpu.io.ply import load_ply

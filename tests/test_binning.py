@@ -143,11 +143,12 @@ def test_capacity_overflow_flag(small_scene, small_camera):
 def test_gather_features_shape(small_cfg, small_scene, small_camera):
     proj, binned, cfg = _bin(small_cfg, small_scene, small_camera, "sort")
     feats = gather_features(proj, binned, cfg)
-    assert feats.shape == (10, cfg.max_intersections)
+    assert feats.shape == (9, cfg.max_intersections)
     total = int(binned.num_intersections)
     gid = np.asarray(binned.sorted_gid)[:total]
     np.testing.assert_allclose(
-        np.asarray(feats)[9, :total], np.asarray(proj.depth)[gid], rtol=1e-6
+        np.asarray(feats)[8, :total], np.asarray(proj.opacity)[gid],
+        rtol=1e-6,
     )
     np.testing.assert_allclose(
         np.asarray(feats)[0, :total],
@@ -280,3 +281,62 @@ def test_gather_backward_permute_matches_variadic():
     g_perm = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_p)))(scene)
     for a, b in zip(jax.tree.leaves(g_var), jax.tree.leaves(g_perm)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gather_backward_c64_matches_variadic():
+    """cfg.gather_backward='c64' (gradient rows paired into complex64 sort
+    values; fewer sort operands for the compile-time win) carries the exact
+    same f32 payload, so gradients must be bit-identical to 'variadic'."""
+    import dataclasses
+
+    import numpy as np
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg = RenderConfig(width=64, height=64, tile_size=8,
+                       max_intersections=1 << 13, max_tiles_per_gaussian=64,
+                       block_size=8, max_per_tile=256, binning="tiered",
+                       tier_spec=(8, 5, 64))
+    scene = random_scene(jax.random.key(11), 150, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(12), (64, 64, 3))
+
+    g_var = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    cfg_c = dataclasses.replace(cfg, gather_backward="c64")
+    g_c = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_c)))(scene)
+    for a, b in zip(jax.tree.leaves(g_var), jax.tree.leaves(g_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_readout_bf16_close_to_f32():
+    """cfg.grad_readout='bf16' rounds only the final per-Gaussian gradient
+    (suffix sums stay f32), so it must match the f32 path to bf16 precision
+    (~0.4% relative), not bit-exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg = RenderConfig(width=64, height=64, tile_size=8,
+                       max_intersections=1 << 13, max_tiles_per_gaussian=64,
+                       block_size=8, max_per_tile=256, binning="tiered",
+                       tier_spec=(8, 5, 64))
+    scene = random_scene(jax.random.key(3), 120, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(4), (64, 64, 3))
+
+    g_f32 = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    cfg_b = dataclasses.replace(cfg, grad_readout="bf16")
+    g_b = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_b)))(scene)
+    for a, b in zip(jax.tree.leaves(g_f32), jax.tree.leaves(g_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16 rounds the feature-level grads (<=0.4% each); chaining
+        # through projection can amplify that on cancellation-prone
+        # entries, so tolerate relative to the leaf's gradient scale.
+        scale = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(a - b).max()) <= 0.02 * scale, (
+            float(np.abs(a - b).max()) / scale
+        )

@@ -20,7 +20,7 @@ CFG = RenderConfig(width=8, height=8, tile_size=8, block_size=8, max_per_tile=64
 
 def _random_inputs(key, g, p, opacity_scale=1.0):
     ks = jax.random.split(key, 6)
-    feat = jnp.zeros((10, g))
+    feat = jnp.zeros((9, g))
     feat = feat.at[0].set(jax.random.uniform(ks[0], (g,), minval=0, maxval=8))
     feat = feat.at[1].set(jax.random.uniform(ks[1], (g,), minval=0, maxval=8))
     # Random PSD conics.

@@ -168,3 +168,56 @@ def test_pallas_cull_mask_matches_jnp():
     )
     got = tile_cull_mask_pallas(proj, cfg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_segmented_suffix_sum_vs_naive():
+    """ops/pallas/segsum.py vs a direct numpy per-run reduction: random
+    sorted runs (lengths <= kmax, gaps in the id space, invalid tail)."""
+    from gsplat_tpu.ops.pallas.segsum import segmented_suffix_sum
+
+    rng = np.random.default_rng(0)
+    kmax, f = 16, 5
+    # Sorted run ids with gaps + a large invalid tail, crossing block edges.
+    ids = np.cumsum(rng.integers(1, 4, size=300))
+    lengths = rng.integers(1, kmax + 1, size=300)
+    rows = np.repeat(ids, lengths).astype(np.int32)
+    m = rows.shape[0]
+    rows = np.concatenate([rows, np.full(50, (2**31 - 1) >> 7, np.int32)])
+    x = rng.normal(size=(f, rows.shape[0])).astype(np.float32)
+    # The invalid tail is one run LONGER than kmax -- allowed only because
+    # its values are zero (exactly the real pipeline: padding slots carry
+    # zero gradient). Runs longer than kmax with nonzero values are out of
+    # contract for both this kernel and the XLA doubling path.
+    x[:, m:] = 0.0
+
+    out = segmented_suffix_sum(
+        jnp.asarray(x), jnp.asarray(rows), kmax=kmax, block_size=256,
+        interpret=True,
+    )
+    out = np.asarray(out)
+
+    # Naive: suffix sum within each run.
+    ref = np.zeros_like(x)
+    start = 0
+    for rid, ln in zip(ids, lengths):
+        seg = x[:, start : start + ln]
+        ref[:, start : start + ln] = np.cumsum(seg[:, ::-1], axis=1)[:, ::-1]
+        start += ln
+    np.testing.assert_allclose(out[:, :m], ref[:, :m], rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_pallas_grads_match_doubling():
+    """cfg.segment_sum='pallas' must reproduce the XLA doubling gradients
+    (same sums up to f32 addition order) through the full render_loss."""
+    cfg = dataclasses.replace(PCFG, binning="tiered", tier_spec=(8, 5, 64))
+    scene = random_scene(jax.random.key(21), 150, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(22), (64, 64, 3))
+
+    g_ref = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    cfg_p = dataclasses.replace(cfg, segment_sum="pallas")
+    g_p = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_p)))(scene)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

@@ -27,7 +27,13 @@ def main():
     ap.add_argument("--tier-spec", default=None,
                     help="override, e.g. '4:0,8:2,16:6,32:25,64:50'")
     ap.add_argument("--gather-backward", default=None,
-                    choices=["variadic", "permute", "c64"])
+                    choices=["variadic", "permute", "c64", "bf16"])
+    ap.add_argument("--segment-sum", default=None,
+                    choices=["doubling", "pallas"])
+    ap.add_argument("--viewer", action="store_true",
+                    help="the reference's own workload shape: 800x800 "
+                    "forward-only (reference: index.html:19; its canvas is "
+                    "800x800 and it has no backward pass)")
     args = ap.parse_args()
 
     import jax
@@ -87,10 +93,21 @@ def main():
             max_per_tile=512,
         )
 
+    if args.viewer and on_tpu:
+        kwargs.update(
+            width=800, height=800, mode="fwd", iters=30,
+            max_intersections=2_000_000,
+            tier_spec=((4, 0), (8, 2), (16, 6), (32, 25), (64, 50)),
+        )
     if args.mode:
         kwargs["mode"] = args.mode
     if args.gather_backward:
         kwargs["gather_backward"] = args.gather_backward
+        if args.gather_backward == "bf16":
+            kwargs["grad_readout"] = "bf16"
+            kwargs.setdefault("segment_sum", "pallas")
+    if args.segment_sum:
+        kwargs["segment_sum"] = args.segment_sum
     if args.tier_spec:
         kwargs["tier_spec"] = tuple(
             tuple(int(y) for y in x.split(":")) if ":" in x else int(x)

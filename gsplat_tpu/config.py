@@ -105,6 +105,11 @@ class RenderConfig:
     #             complex64 values: identical payload bytes and exact f32
     #             results, but ceil(F/2)+1 operands instead of F+1 -- the
     #             sort expander's compile blowup scales with operand count.
+    # 'bf16':     mixed-precision: slot gradients bf16-rounded and
+    #             pair-packed BEFORE the sort (half the sorted payload,
+    #             ~18 vs 31 ms at 4.1M lanes), summed in f32 by the packed
+    #             Pallas segsum kernel; requires segment_sum='pallas' and
+    #             grad_readout='bf16'.
     gather_backward: str = "variadic"
     # Final per-Gaussian gradient readout precision: 'f32' (exact) or 'bf16'
     # (sums stay f32; only the result of each Gaussian's gradient is rounded
@@ -153,7 +158,7 @@ class RenderConfig:
             raise ValueError(f"unknown binning mode {self.binning!r}")
         if self.impl not in ("jnp", "pallas"):
             raise ValueError(f"unknown impl {self.impl!r}")
-        if self.gather_backward not in ("variadic", "permute", "c64"):
+        if self.gather_backward not in ("variadic", "permute", "c64", "bf16"):
             raise ValueError(
                 f"unknown gather_backward {self.gather_backward!r}"
             )
@@ -161,6 +166,14 @@ class RenderConfig:
             raise ValueError(f"unknown grad_readout {self.grad_readout!r}")
         if self.segment_sum not in ("doubling", "pallas"):
             raise ValueError(f"unknown segment_sum {self.segment_sum!r}")
+        if self.gather_backward == "bf16" and (
+            self.segment_sum != "pallas" or self.grad_readout != "bf16"
+        ):
+            raise ValueError(
+                "gather_backward='bf16' keeps the gradient stream pair-"
+                "packed end-to-end; it requires segment_sum='pallas' and "
+                "grad_readout='bf16'"
+            )
         if (
             self.impl == "pallas"
             and self.pixels_per_tile * self.pallas_block_size > 131072

@@ -329,12 +329,32 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
         )
         bmax = max(pool_budgets)
         ids_pool = ids_by_count[:bmax]            # (bmax,) count-descending
-        # Row data gathered ONCE at the largest budget; smaller tiers slice.
-        pool_w = jnp.take(rect_w, ids_pool)
-        pool_x0 = jnp.take(proj.rect[:, 0], ids_pool)
-        pool_y0 = jnp.take(proj.rect[:, 1], ids_pool)
-        pool_depth = jnp.take(proj.depth, ids_pool)
-        pool_counts = jnp.take(counts, ids_pool)
+        # Row data gathered ONCE at the largest budget (smaller tiers
+        # slice), and as ONE (N, 5) -> (bmax, 5) row gather, not five 1-D
+        # takes: the flat take's runtime is data-dependent (see the gather
+        # NOTE below) and the five takes measured ~24 ms at bmax=500k where
+        # this row gather is ~3 ms. Depth rides along bitcast to int32.
+        pool_data = jnp.take(
+            jnp.stack(
+                [
+                    rect_w,
+                    proj.rect[:, 0],
+                    proj.rect[:, 1],
+                    jax.lax.bitcast_convert_type(proj.depth, jnp.int32),
+                    counts,
+                ],
+                axis=1,
+            ),
+            ids_pool,
+            axis=0,
+        )  # (bmax, 5)
+        pool_w = pool_data[:, 0]
+        pool_x0 = pool_data[:, 1]
+        pool_y0 = pool_data[:, 2]
+        pool_depth = jax.lax.bitcast_convert_type(
+            pool_data[:, 3], jnp.float32
+        )
+        pool_counts = pool_data[:, 4]
 
     tiles_l, depth_l, gid_l, kidx_l, valid_l = [], [], [], [], []
     pool_overflow = jnp.zeros((), bool)
@@ -795,6 +815,48 @@ def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
         x = jnp.stack([jnp.real(cs), jnp.imag(cs)], axis=1).reshape(
             2 * pairs, m_i
         )[:f]
+    elif strategy == "bf16":
+        # Mixed-precision fast path (requires segment_sum='pallas' and
+        # grad_readout='bf16', enforced by RenderConfig): per-slot gradient
+        # rows are bf16-rounded and PAIR-PACKED before the sort, so the sort
+        # moves ceil(F/2)+1 operands of real payload (vs F+1) -- ~18 ms vs
+        # 31 ms at 4.1M lanes -- and the packed segsum kernel unpacks in
+        # VMEM, sums in f32, and re-packs, halving its DMA too. The packed
+        # rows ride as complex64 sort values for the same compile-time win
+        # as 'c64'. Rounds each slot's gradient (not just the final sum) to
+        # bf16: ~0.4% relative noise per element, standard mixed-precision
+        # territory; use 'c64'/'variadic' + grad_readout='f32' for exact.
+        from gsplat_tpu.ops.pallas.segsum import segmented_suffix_sum
+
+        # The packed pairs ride as INT32 sort values, not f32/complex64: a
+        # packed lane whose high bf16 is zero is an f32 DENORMAL bit
+        # pattern, and TPU compute ops flush denormals to zero (measured:
+        # complex64-wrapped packed rows came back with their low halves
+        # zeroed -- the opacity row, whose pair partner is the zero pad
+        # row). Integer lanes pass through the sort bit-exactly.
+        xp = jax.lax.bitcast_convert_type(
+            _pack_bf16_pairs(dslot), jnp.int32
+        )  # (P, m_i) int32 lanes = bf16 pairs
+        p = xp.shape[0]
+        sorted_all = jax.lax.sort(
+            (key,) + tuple(xp[i] for i in range(p)), num_keys=1,
+            is_stable=False,
+        )
+        rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+        xpacked = jnp.stack(sorted_all[1:])  # (P, m_i) int32
+        xsum = segmented_suffix_sum(
+            xpacked, rows, kmax=kmax, packed=True,
+            interpret=segsum.endswith("interpret"),
+        )  # (P, M_pad) int32 packed bf16 run totals
+        offs = jnp.clip(offsets, 0, m_i - 1)
+        dgauss = _unpack_bf16_pairs(
+            jax.lax.bitcast_convert_type(
+                jnp.take(xsum, offs, axis=1), jnp.float32
+            ),
+            f,
+        )
+        dgauss = dgauss * (counts > 0)[None, :].astype(dgauss.dtype)
+        return dgauss, None, None, None, None
     else:
         # One variadic sort carrying the gradient rows as values, instead of
         # sort_key_val + a (F, m_i) permutation gather: the 11-operand sort
@@ -839,8 +901,15 @@ def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
         # the take's element count (the suffix sums are exact f32; only the
         # final gradient is rounded, exactly like casting grads to bf16 in
         # any mixed-precision trainer).
-        xp = _pack_bf16_pairs(x)
-        dgauss = _unpack_bf16_pairs(jnp.take(xp, offs, axis=1), f)
+        # int32-typed so no compute op can ever flush zero-high pairs
+        # (f32-denormal bit patterns) -- see the 'bf16' strategy above.
+        xp = jax.lax.bitcast_convert_type(_pack_bf16_pairs(x), jnp.int32)
+        dgauss = _unpack_bf16_pairs(
+            jax.lax.bitcast_convert_type(
+                jnp.take(xp, offs, axis=1), jnp.float32
+            ),
+            f,
+        )
     else:
         dgauss = jnp.take(x, offs, axis=1)  # (F, N): run sum at run start
     dgauss = dgauss * (counts > 0)[None, :].astype(dgauss.dtype)

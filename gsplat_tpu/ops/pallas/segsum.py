@@ -73,6 +73,56 @@ def _kernel(x_ref, rows_ref, out_ref, carry_f, carry_r, *, kmax: int, b: int):
     carry_r[0:1, 0:1] = rb[0:1, 0:1]
 
 
+def _rne_bf16_bits(x):
+    """Round f32 -> bf16 (round-to-nearest-even) and return the bf16 bits in
+    the TOP 16 bits of a uint32 (low 16 zero). Standard bit trick:
+    u + 0x7FFF + lsb(u>>16), then truncate. Not NaN/inf-preserving in the
+    payload bits -- gradients are finite by construction."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    r = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    return r & jnp.uint32(0xFFFF0000)
+
+
+def _kernel_packed(x_ref, rows_ref, out_ref, carry_f, carry_r, *, kmax: int,
+                   b: int):
+    """Packed twin of _kernel: INT32 lanes hold bf16 PAIRS
+    (binning._pack_bf16_pairs layout -- even row in the low 16 bits, odd row
+    high; int32 rather than f32 because a pair with a zero high half is an
+    f32 denormal, which TPU compute flushes to zero). Unpacks to f32 in
+    VMEM, runs the same doubling + carry on the 2P unpacked rows, re-rounds
+    the sums to bf16 and writes them re-packed -- so both the sort feeding
+    this kernel and the run-start take after it move half the elements."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        carry_f[...] = jnp.zeros_like(carry_f)
+        carry_r[...] = jnp.full_like(carry_r, -2)
+
+    u = jax.lax.bitcast_convert_type(x_ref[...], jnp.uint32)  # (P, B)
+    xe = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    xo = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    xb = jnp.concatenate([xe, xo], axis=0)  # (2P, B): even block, odd block
+    rb = rows_ref[...]  # (1, B)
+
+    s = 1
+    while s < kmax and s < b:
+        rsh = _shift_left_lanes(rb, s, jnp.int32(-1))
+        same = (rsh == rb).astype(xb.dtype)
+        xb = xb + _shift_left_lanes(xb, s, xb.dtype.type(0)) * same
+        s <<= 1
+
+    match = (rb == carry_r[0:1, 0:1]).astype(xb.dtype)
+    xb = xb + carry_f[:, 0:1] * match
+
+    p = u.shape[0]
+    out_ref[...] = jax.lax.bitcast_convert_type(
+        (_rne_bf16_bits(xb[:p]) >> 16) | _rne_bf16_bits(xb[p:]), jnp.int32
+    )
+    carry_f[:, 0:1] = xb[:, 0:1]
+    carry_r[0:1, 0:1] = rb[0:1, 0:1]
+
+
 def segmented_suffix_sum(
     x: jnp.ndarray,
     rows: jnp.ndarray,
@@ -80,6 +130,7 @@ def segmented_suffix_sum(
     kmax: int,
     block_size: int = 2048,
     interpret: bool = False,
+    packed: bool = False,
 ) -> jnp.ndarray:
     """out[:, j] = sum_{k >= j, rows[k] == rows[j]} x[:, k].
 
@@ -91,6 +142,12 @@ def segmented_suffix_sum(
     (F, M_padded) with M_padded = M rounded up to block_size -- run totals
     sit at run starts, so callers indexing by run-start offset can use the
     padded array directly (pad lanes form their own all-zero run).
+
+    With packed=True, x rows are bf16 PAIRS packed into INT32 lanes
+    (ops/binning.py _pack_bf16_pairs layout, bitcast to int32 -- zero-high
+    pairs are f32 denormals and must never be typed as f32 on TPU); sums
+    are computed in f32 and re-rounded/re-packed, so input and output move
+    half the elements.
     """
     f, m = x.shape
     b = block_size
@@ -103,9 +160,11 @@ def segmented_suffix_sum(
         rows = jnp.pad(rows, (0, m_pad - m), constant_values=jnp.int32(2**30))
     rows2d = rows.reshape(1, m_pad)
 
+    kern = _kernel_packed if packed else _kernel
+    carry_rows = 2 * f if packed else f
     rev = lambda t: (0, nb - 1 - t)  # noqa: E731  right-to-left walk
     return pl.pallas_call(
-        functools.partial(_kernel, kmax=kmax, b=b),
+        functools.partial(kern, kmax=kmax, b=b),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((f, b), rev),
@@ -114,7 +173,7 @@ def segmented_suffix_sum(
         out_specs=pl.BlockSpec((f, b), rev),
         out_shape=jax.ShapeDtypeStruct((f, m_pad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((f, 128), x.dtype),
+            pltpu.VMEM((carry_rows, 128), jnp.float32),
             pltpu.VMEM((1, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -42,6 +42,7 @@ def run_bench(
     scene_kind: str = "random",
     gather_backward: str | None = None,
     grad_readout: str | None = None,
+    segment_sum: str | None = None,
 ) -> dict:
     """sharded_tiles=N benches the tile-sharded distributed path on an
     N-device 'tiles' mesh (x data_shards-way data parallelism): the full
@@ -59,6 +60,8 @@ def run_bench(
         extra["gather_backward"] = gather_backward
     if grad_readout is not None:
         extra["grad_readout"] = grad_readout
+    if segment_sum is not None:
+        extra["segment_sum"] = segment_sum
     cfg = RenderConfig(
         width=width,
         height=height,

@@ -340,3 +340,34 @@ def test_grad_readout_bf16_close_to_f32():
         assert float(np.abs(a - b).max()) <= 0.02 * scale, (
             float(np.abs(a - b).max()) / scale
         )
+
+
+def test_gather_backward_bf16_close_to_exact():
+    """cfg.gather_backward='bf16' (slot grads bf16-pair-packed through the
+    sort and the packed Pallas segsum kernel) must match the exact path to
+    mixed-precision tolerance."""
+    import dataclasses
+
+    import numpy as np
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg = RenderConfig(width=64, height=64, tile_size=8,
+                       max_intersections=1 << 13, max_tiles_per_gaussian=64,
+                       block_size=8, max_per_tile=256, binning="tiered",
+                       tier_spec=(8, 5, 64), pallas_interpret=True)
+    scene = random_scene(jax.random.key(5), 120, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(6), (64, 64, 3))
+
+    g_f32 = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    cfg_b = dataclasses.replace(cfg, gather_backward="bf16",
+                                grad_readout="bf16", segment_sum="pallas")
+    g_b = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_b)))(scene)
+    for a, b in zip(jax.tree.leaves(g_f32), jax.tree.leaves(g_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(a - b).max()) <= 0.03 * scale, (
+            float(np.abs(a - b).max()) / scale
+        )

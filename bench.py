@@ -75,8 +75,13 @@ def main():
             binning="tiered",
             tier_spec=((4, 0), (8, 2), (16, 6), (32, 25), (64, 50)),
             pallas_block_size=128,
-            gather_backward="c64",
+            # Default = the mixed-precision training path (slot grads
+            # bf16-pair-packed through the backward sort + packed Pallas
+            # segsum; grads within ~0.7% of exact). --exact-grads switches
+            # to the exact-f32 path (c64 sort operands for compile time).
+            gather_backward="c64" if args.exact_grads else "bf16",
             grad_readout="f32" if args.exact_grads else "bf16",
+            segment_sum="pallas",
             scene_kind=args.scene,
         )
     else:

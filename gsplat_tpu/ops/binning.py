@@ -285,21 +285,34 @@ def _normalize_tier_plan(spec, kmax: int, n: int):
     return plan
 
 
-def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
-    """Tiered candidate expansion: every Gaussian gets K0=4 candidate slots;
-    Gaussians whose rect covers more tiles are compacted (cumsum-rank
-    scatter, no atomics) into budgeted overflow pools with 16 and K_max
-    slots. Cuts the sort input from N*K_max to ~N*4 + budgets -- the
-    dominant cost at 1M Gaussians -- while preserving exact coverage up to
-    the (flagged) pool budgets.
+def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig,
+                       n_local: int, tile_start=None):
+    """Tiered candidate expansion straight to packed sort operands: every
+    Gaussian gets a dense tier of candidate slots; Gaussians whose rect
+    covers more tiles take rows in budgeted overflow pools (prefixes of one
+    shared count-descending ranking). Cuts the sort input from N*K_max to
+    ~N*K0 + pool budgets -- the dominant cost at 1M Gaussians -- while
+    preserving exact coverage up to the (flagged) pool budgets.
 
-    Returns (tile (M,), depth (M,), gid (M,), kidx (M,), valid (M,),
-    pool_overflow (), counts (N,) post-cull per-Gaussian candidate counts).
-    kidx is the candidate's compact per-Gaussian index (position among the
-    Gaussian's surviving tiles) -- unique within a Gaussian across tiers.
+    Emits the (key, gidk) sort operands directly, built per tier in 2-D
+    (rows, k) form: materializing intermediate 1-D tile/depth/gid/kidx/valid
+    streams cost ~4 ms/iter of broadcast+reshape relayouts at the 1080p/1M
+    bench shape (PROFILE.md). Depth is quantized per ROW (one op per
+    Gaussian, not per candidate) and broadcast into the key.
+
+    tile_start (traced ok) restricts to the shard-local tile range
+    [tile_start, tile_start + n_local), re-bases tile ids, and recomputes
+    per-Gaussian counts within the shard.
+
+    Returns (key (M,) u32 -- 0xFFFFFFFF for invalid, gidk (M,) int32,
+    total () int32 valid count, pool_overflow (), gcounts (N,) per-Gaussian
+    candidate counts within this shard's range). gidk carries gid << KBITS |
+    compact candidate index (position among the Gaussian's surviving tiles)
+    -- unique within a Gaussian across tiers.
     """
     n = proj.mask.shape[0]
     kmax = cfg.max_tiles_per_gaussian
+    depth_bits = depth_bits_for(n_local)
 
     # Upfront (N, K_max) rect enumeration + exact ellipse culling, then a
     # per-row compaction (one lane-wise sort) so tiers enumerate only the
@@ -356,7 +369,29 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
         )
         pool_counts = pool_data[:, 4]
 
-    tiles_l, depth_l, gid_l, kidx_l, valid_l = [], [], [], [], []
+    if tile_start is not None:
+        t0 = jnp.asarray(tile_start, jnp.int32)
+        # Shard-local per-Gaussian candidate counts for the gather backward
+        # (the global culled counts over-count candidates outside this
+        # shard's tile range). Computed on the compact (N, K_max) grid --
+        # elementwise only, no gathers.
+        cky_a, ckx_a = _rect_divmod(
+            jnp.minimum(compact_k, kmax - 1), rect_w[:, None]
+        )
+        tile_all = (proj.rect[:, 1:2] + cky_a) * cfg.tiles_x + (
+            proj.rect[:, 0:1] + ckx_a
+        )
+        in_rng = (
+            (k < counts[:, None])
+            & (tile_all >= t0)
+            & (tile_all < t0 + n_local)
+        )
+        gcounts = jnp.sum(in_rng, axis=1).astype(jnp.int32)
+    else:
+        gcounts = counts
+
+    key_l, gidk_l = [], []
+    total = jnp.zeros((), jnp.int32)
     pool_overflow = jnp.zeros((), bool)
     for k_lo, k_hi, budget in tiers:
         kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
@@ -391,20 +426,34 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig):
         cky, ckx = _rect_divmod(ck, row_w)
         tile = (row_y0 + cky) * cfg.tiles_x + (row_x0 + ckx)
         valid = kk < row_counts
-        tiles_l.append(tile.reshape(-1))
-        depth_l.append(jnp.broadcast_to(row_depth, tile.shape).reshape(-1))
-        gid_l.append(jnp.broadcast_to(ids_c[:, None], tile.shape).reshape(-1))
-        kidx_l.append(jnp.broadcast_to(kk, tile.shape).reshape(-1))
-        valid_l.append(valid.reshape(-1))
+        if tile_start is not None:
+            valid = valid & (tile >= t0) & (tile < t0 + n_local)
+            tile = tile - t0
+        # Per-ROW depth quantization (see pack_tile_depth_key), broadcast
+        # into the 2-D key; invalid lanes take the sentinel key.
+        depth_q = jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(
+                row_depth.astype(jnp.float32), jnp.int32
+            ),
+            31 - depth_bits,
+        ).astype(jnp.uint32)
+        key = (
+            jax.lax.shift_left(tile.astype(jnp.uint32),
+                               jnp.uint32(depth_bits))
+            | depth_q
+        )
+        key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
+        gidk = jax.lax.shift_left(ids_c[:, None], jnp.int32(KBITS)) | kk
+        total = total + jnp.sum(valid).astype(jnp.int32)
+        key_l.append(key.reshape(-1))
+        gidk_l.append(jnp.broadcast_to(gidk, key.shape).reshape(-1))
 
     return (
-        jnp.concatenate(tiles_l),
-        jnp.concatenate(depth_l),
-        jnp.concatenate(gid_l),
-        jnp.concatenate(kidx_l),
-        jnp.concatenate(valid_l),
+        jnp.concatenate(key_l),
+        jnp.concatenate(gidk_l),
+        total,
         pool_overflow,
-        counts,
+        gcounts,
     )
 
 
@@ -506,64 +555,50 @@ def bin_gaussians(
             "binning='scatter' beyond that"
         )
     if cfg.binning == "tiered":
-        tile, depth, gid, kidx, valid, pool_ovf, gcounts = (
-            _tiered_candidates(proj, cfg)
+        # Emits packed (key, gidk) sort operands directly (2-D per tier, no
+        # intermediate tile/depth/gid/kidx/valid streams) and handles the
+        # shard tile range internally.
+        key, gidk, total, pool_ovf, gcounts = _tiered_candidates(
+            proj, cfg, n_local, tile_start
         )
     else:
         tile, depth, gid, kidx, valid = _candidate_tiles(proj, cfg)
         pool_ovf = jnp.zeros((), bool)
+        if tile_start is not None:
+            t0 = jnp.asarray(tile_start, jnp.int32)
+            # Shard-local per-Gaussian candidate counts for the gather
+            # backward (the global culled counts over-count candidates
+            # outside this shard's tile range).
+            valid = valid & (tile >= t0) & (tile < t0 + n_local)
+            tile = tile - t0
         gcounts = jnp.sum(valid, axis=1).astype(jnp.int32)
-    if tile_start is not None:
-        t0 = jnp.asarray(tile_start, jnp.int32)
-        valid = valid & (tile >= t0) & (tile < t0 + n_local)
-        tile = tile - t0
-        # Shard-local per-Gaussian candidate counts for the gather backward
-        # (the global culled counts over-count candidates outside this
-        # shard's tile range). Recomputed on the compact (N, K_max) grid --
-        # elementwise only, no gathers.
-        if cfg.binning == "tiered":
-            k = jnp.arange(kmax, dtype=jnp.int32)[None, :]
-            rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
-            valid_all = _rect_cull_mask(proj, cfg, n, kmax, rect_w)
-            compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1, stable=False)
-            cky, ckx = _rect_divmod(
-                jnp.minimum(compact_k, kmax - 1), rect_w[:, None]
-            )
-            tile_all = (proj.rect[:, 1:2] + cky) * cfg.tiles_x + (
-                proj.rect[:, 0:1] + ckx
-            )
-            in_rng = (
-                (k < gcounts[:, None])
-                & (tile_all >= t0)
-                & (tile_all < t0 + n_local)
-            )
-            gcounts = jnp.sum(in_rng, axis=1).astype(jnp.int32)
-        else:
-            gcounts = jnp.sum(valid, axis=1).astype(jnp.int32)
-    total = jnp.sum(valid).astype(jnp.int32)
+        total = jnp.sum(valid).astype(jnp.int32)
+        tile_f = jnp.where(valid, tile, sentinel).reshape(-1)
+        depth_f = (
+            jnp.where(valid, depth, jnp.inf).reshape(-1).astype(jnp.float32)
+        )
+        # gid << KBITS | k: one sort value carrying both the Gaussian index
+        # (for the slot-order feature gather) and the per-Gaussian candidate
+        # index (for the sort-based gather backward, which re-sorts slot
+        # gradients by gidk -> gid-major runs). Replaces separate gid +
+        # candidate-id sort operands (one fewer 13M-lane sort operand).
+        gidk = (
+            jax.lax.shift_left(gid, jnp.int32(KBITS)) | kidx
+        ).reshape(-1)
+        if cfg.binning == "packed":
+            # Single-u32-key sort: key = tile << depth_bits | depth_q.
+            # Depth is quantized via its raw float bits (monotone for
+            # positives), so the only divergence from the exact 2-key sort
+            # is tie order among near-equal depths. Far finer than the
+            # reference's 1000-level decimal quantization (reference:
+            # src/write_tile_ids.wgsl:29-31) and ~2/3 the sort traffic of
+            # the exact mode.
+            key = pack_tile_depth_key(tile, depth, n_local)
+            key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
     overflow = proj.overflow | pool_ovf | (total > max_i)
 
-    tile_f = jnp.where(valid, tile, sentinel).reshape(-1)
-    depth_f = jnp.where(valid, depth, jnp.inf).reshape(-1).astype(jnp.float32)
-    # gid << KBITS | k: one sort value carrying both the Gaussian index (for
-    # the slot-order feature gather) and the per-Gaussian candidate index
-    # (for the sort-based gather backward, which re-sorts slot gradients by
-    # gidk -> gid-major runs). Replaces separate gid + candidate-id sort
-    # operands (one fewer 13M-lane sort operand).
-    gidk = (
-        jax.lax.shift_left(gid, jnp.int32(KBITS)) | kidx
-    ).reshape(-1)
-
     if cfg.binning in ("packed", "tiered"):
-        # Single-u32-key sort: key = tile << depth_bits | depth_q. Depth is
-        # quantized via its raw float bits (monotone for positives), so the
-        # only divergence from the exact 2-key sort is tie order among
-        # near-equal depths. Far finer than the reference's 1000-level
-        # decimal quantization (reference: src/write_tile_ids.wgsl:29-31)
-        # and ~2/3 the sort traffic of the exact mode.
         depth_bits = depth_bits_for(n_local)
-        key = pack_tile_depth_key(tile, depth, n_local)
-        key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
         # is_stable=False: XLA's stable lowering adds a 13M-lane iota
         # tiebreak operand (~1/3 of the sort's cost); ties are identical
         # (tile, quantized-depth) keys whose blend order is arbitrary.

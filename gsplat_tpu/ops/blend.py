@@ -101,6 +101,24 @@ def make_triangular(g: int, dtype=jnp.float32) -> jnp.ndarray:
     return (row <= col).astype(dtype)
 
 
+def _pixel_basis(px: jnp.ndarray, py: jnp.ndarray):
+    """Quadratic pixel basis for the MXU power evaluation: (P, 6) columns
+    [1, xr, yr, xr^2, yr^2, xr*yr] in TILE-RELATIVE coordinates (xr = px -
+    px[0]): keeps the expanded quadratic's terms O(tile_size^2 / sigma^2)
+    so the f32 cancellation error stays ~1e-4 in `power` (absolute pixel
+    coordinates would put px^2 ~ 4e6 into the sum). Returns (basis, ox, oy).
+    """
+    ox = px[0:1, 0:1]
+    oy = py[0:1, 0:1]
+    xr = px - ox
+    yr = py - oy
+    one = jnp.ones_like(xr)
+    basis = jnp.concatenate(
+        [one, xr, yr, xr * xr, yr * yr, xr * yr], axis=1
+    )  # (P, 6)
+    return basis, ox, oy
+
+
 def _block_weights(
     carry: BlendCarry,
     feat: jnp.ndarray,
@@ -112,16 +130,24 @@ def _block_weights(
 ):
     """Shared fwd/bwd recomputation: per-(pixel, Gaussian) effective alpha
     `a`, running transmittance-after `p_incl`, contribution weight `w`, and
-    the updated (trans, done) carries."""
-    gx = feat[FEAT_GX][None, :]
-    gy = feat[FEAT_GY][None, :]
+    the updated (trans, done) carries.
+
+    The quadratic itself stays on the VPU (measured: a (P, 6) @ (6, G)
+    HIGHEST-precision power matmul is ~2 ms/iter SLOWER at the bench shape
+    -- the K=6 contraction wastes the MXU and serializes against the VPU in
+    the block loop), but the basis/tile-relative quantities are recorded in
+    aux for the backward's MOMENTS matmul, which contracts over P=1024 and
+    does win (see blend_block_bwd)."""
     ca = feat[FEAT_CA][None, :]
     cb = feat[FEAT_CB][None, :]
     cc = feat[FEAT_CC][None, :]
     op = feat[FEAT_OPACITY][None, :]
 
-    dx = px - gx  # (P, G); sign convention irrelevant (quadratic form)
-    dy = py - gy
+    basis, ox, oy = _pixel_basis(px, py)
+    gxr = feat[FEAT_GX][None, :] - ox  # (1, G) tile-relative means
+    gyr = feat[FEAT_GY][None, :] - oy
+    dx = (px - ox) - gxr  # = px - gx, via tile-relative terms
+    dy = (py - oy) - gyr
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     e = jnp.exp(power)
     alpha_u = op * e
@@ -149,8 +175,8 @@ def _block_weights(
         carry.done, jnp.any(trigger, axis=-1, keepdims=True).astype(carry.done.dtype)
     )
     aux = dict(
-        dx=dx, dy=dy, e=e, alpha_u=alpha_u, a=a, ok=ok, valid=valid,
-        t_before=t_before, ca=ca, cb=cb, cc=cc, op=op,
+        alpha_u=alpha_u, a=a, ok=ok, valid=valid, t_before=t_before,
+        ca=ca, cb=cb, cc=cc, op=op, basis=basis, gxr=gxr, gyr=gyr,
     )
     return w, new_trans, new_done, aux
 
@@ -228,19 +254,31 @@ def blend_block_bwd(
     # (post-termination) lanes have w=0 AND must get zero grad, enforced here:
     da = jnp.where(aux["valid"], da, 0.0)
     not_clamped = (aux["alpha_u"] < cfg.alpha_clamp).astype(a.dtype)
-    dop_pg = da * aux["e"] * not_clamped          # (P, G)
     dpower = da * aux["alpha_u"] * not_clamped    # (P, G)
 
-    dx, dy = aux["dx"], aux["dy"]
-    d_ca = jnp.sum(-0.5 * dx * dx * dpower, axis=0)
-    d_cb = jnp.sum(-dx * dy * dpower, axis=0)
-    d_cc = jnp.sum(-0.5 * dy * dy * dpower, axis=0)
-    # d power / d dx = -(A dx + B dy); dx = px - gx so d dx / d gx = -1.
-    ddx = -(aux["ca"] * dx + aux["cb"] * dy) * dpower
-    ddy = -(aux["cc"] * dy + aux["cb"] * dx) * dpower
-    d_gx = jnp.sum(-ddx, axis=0)
-    d_gy = jnp.sum(-ddy, axis=0)
-    d_op = jnp.sum(dop_pg, axis=0)
+    # All pixel reductions through ONE moments matmul (MXU): with the
+    # quadratic expanded in tile-relative coordinates,
+    #   M[k, g] = sum_p basis[p, k] * dpower[p, g],
+    # every conic/mean gradient is a G-length combination of M -- replacing
+    # five (P, G) product temporaries + six pixel-axis reductions on the VPU.
+    m = jnp.einsum(
+        "pk,pg->kg", aux["basis"], dpower,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6, G): [sum, x, y, x^2, y^2, xy] moments of dpower
+    gxr, gyr = aux["gxr"][0], aux["gyr"][0]  # (G,)
+    ca, cb, cc, op = aux["ca"][0], aux["cb"][0], aux["cc"][0], aux["op"][0]
+    sdx = m[1] - gxr * m[0]                   # sum dpower * dx
+    sdy = m[2] - gyr * m[0]                   # sum dpower * dy
+    # d power/d ca = -0.5 dx^2; dx^2 = xr^2 - 2 xr gxr + gxr^2.
+    d_ca = -0.5 * (m[3] - 2.0 * gxr * m[1] + gxr * gxr * m[0])
+    d_cc = -0.5 * (m[4] - 2.0 * gyr * m[2] + gyr * gyr * m[0])
+    d_cb = -(m[5] - gyr * m[1] - gxr * m[2] + gxr * gyr * m[0])
+    # d power/d gx = ca dx + cb dy (d dx/d gx = -1 twice cancels the sign).
+    d_gx = ca * sdx + cb * sdy
+    d_gy = cc * sdy + cb * sdx
+    # dop_pg = da * e * not_clamped = dpower / opacity (sigmoid > 0).
+    d_op = m[0] / op
     # dL/dcolor[c,g] = sum_p g_color[c,p] * w[p,g]
     d_colors = jnp.einsum(
         "cp,pg->cg", g_color, w, preferred_element_type=jnp.float32,

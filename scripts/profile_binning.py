@@ -88,7 +88,7 @@ def main():
     print(f"compact_k row sort:   {ms:8.2f} ms", flush=True)
 
     # 3. tier assembly (includes 1+2)
-    tiered = jax.jit(lambda p: B._tiered_candidates(p, cfg))
+    tiered = jax.jit(lambda p: B._tiered_candidates(p, cfg, cfg.num_tiles))
     ms, out = timeit(tiered, proj, iters=args.iters)
     tile, depth, gid, kidx, validc, povf, counts = out
     lanes = tile.shape[0]

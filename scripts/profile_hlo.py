@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--tier-spec", default="8,5,64")
     ap.add_argument("--gather-backward", default="variadic")
     ap.add_argument("--grad-readout", default="f32")
+    ap.add_argument("--segment-sum", default="doubling")
     args = ap.parse_args()
 
     from gsplat_tpu.config import RenderConfig
@@ -44,6 +45,7 @@ def main():
         pallas_block_size=128, tier_spec=spec,
         gather_backward=args.gather_backward,
         grad_readout=args.grad_readout,
+        segment_sum=args.segment_sum,
     )
     scene = jax.device_put(random_scene(jax.random.key(0), 1_000_000, sh_degree=3))
     cam = Camera.default(cfg.width, cfg.height)

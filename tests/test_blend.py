@@ -99,8 +99,10 @@ def test_blend_blocks_compose():
     c = init_carry(64)
     c = blend_block(c, feat[:, :16], px, py, in_range[:, :16], CFG)
     c = blend_block(c, feat[:, 16:], px, py, in_range[:, 16:], CFG)
-    np.testing.assert_allclose(np.asarray(one.color), np.asarray(c.color), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(one.trans), np.asarray(c.trans), rtol=1e-5)
+    # atol 1e-4: the MXU quadratic-basis power matmul reassociates f32 sums
+    # differently per block width (ops/blend.py _block_weights).
+    np.testing.assert_allclose(np.asarray(one.color), np.asarray(c.color), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(one.trans), np.asarray(c.trans), rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(one.done), np.asarray(c.done))
 
 

@@ -129,7 +129,7 @@ def test_pallas_tile32_matches_jnp():
     out_p = render(scene, cam, cfg)
     out_j = render(scene, cam, _dc.replace(cfg, impl="jnp"))
     np.testing.assert_allclose(
-        np.asarray(out_p.image), np.asarray(out_j.image), rtol=1e-5, atol=1e-6
+        np.asarray(out_p.image), np.asarray(out_j.image), rtol=1e-3, atol=2e-4
     )
 
 

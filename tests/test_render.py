@@ -34,8 +34,10 @@ def test_tiled_matches_dense_oracle(binning, small_cfg, small_scene, small_camer
 def test_render_jit_matches_eager(small_cfg, small_scene, small_camera):
     eager = render(small_scene, small_camera, small_cfg)
     jitted = render_jit(small_scene, small_camera, small_cfg)
+    # atol 1e-4: jit fuses the MXU quadratic-basis matmul differently
+    # from eager (ops/blend.py _block_weights), reassociating f32 sums.
     np.testing.assert_allclose(
-        np.asarray(eager.image), np.asarray(jitted.image), rtol=1e-5, atol=1e-6
+        np.asarray(eager.image), np.asarray(jitted.image), rtol=1e-4, atol=1e-4
     )
 
 
@@ -113,5 +115,8 @@ def test_image_invariant_to_tile_size():
                            max_tiles_per_gaussian=64, block_size=8,
                            max_per_tile=1024, binning="packed")
         imgs.append(np.asarray(render(scene, cam, cfg).image))
-    np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(imgs[1], imgs[2], rtol=1e-5, atol=1e-6)
+    # atol 1e-4: the power matmul uses TILE-RELATIVE coordinates, so
+    # different tile sizes expand the quadratic about different origins
+    # -- invariance holds to f32 cancellation (~3e-5), not bit-exactly.
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(imgs[1], imgs[2], rtol=1e-4, atol=1e-4)

@@ -30,6 +30,11 @@ def main():
                     choices=["variadic", "permute", "c64", "bf16"])
     ap.add_argument("--segment-sum", default=None,
                     choices=["doubling", "pallas"])
+    ap.add_argument("--stream-format", default=None,
+                    choices=["f32", "packed16"])
+    ap.add_argument("--kmax", type=int, default=None,
+                    help="max tiles per Gaussian (raise to 128 for "
+                    "fat-splat scenes whose rects overflow 64)")
     ap.add_argument("--viewer", action="store_true",
                     help="the reference's own workload shape: 800x800 "
                     "forward-only (reference: index.html:19; its canvas is "
@@ -101,7 +106,7 @@ def main():
     if args.viewer and on_tpu:
         kwargs.update(
             width=800, height=800, mode="fwd", iters=30,
-            max_intersections=2_000_000,
+            max_intersections=2_600_000,
             tier_spec=((4, 0), (8, 2), (16, 6), (32, 25), (64, 50)),
         )
     if args.mode:
@@ -113,6 +118,10 @@ def main():
             kwargs.setdefault("segment_sum", "pallas")
     if args.segment_sum:
         kwargs["segment_sum"] = args.segment_sum
+    if args.stream_format:
+        kwargs["stream_format"] = args.stream_format
+    if args.kmax:
+        kwargs["max_tiles_per_gaussian"] = args.kmax
     if args.tier_spec:
         kwargs["tier_spec"] = tuple(
             tuple(int(y) for y in x.split(":")) if ":" in x else int(x)

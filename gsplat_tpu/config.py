@@ -123,6 +123,15 @@ class RenderConfig:
     # cross-block carry (ops/pallas/segsum.py). Identical sums up to
     # f32 addition order. Interpreted on CPU via pallas_interpret.
     segment_sum: str = "doubling"
+    # Forward feature-stream format. 'f32': NUM_FEATURES f32 rows (exact).
+    # 'packed16': 5 int32 rows -- means as u16 fixed-point pairs (~1/30 px
+    # at 1080p, scale-adaptive), conic/color/opacity as bf16 pairs -- so the
+    # biggest per-element cost of the frame, the slot-order feature gather,
+    # moves 5/9 the elements. Quantizes the forward render (~0.4% alpha
+    # noise); gradients are straight-through onto the f32 features.
+    # Unsupported in the Gaussian-sharded path (fragment exchange reads raw
+    # feature rows).
+    stream_format: str = "f32"
 
     # ---- derived (static) ----
     @property
@@ -173,6 +182,21 @@ class RenderConfig:
                 "gather_backward='bf16' keeps the gradient stream pair-"
                 "packed end-to-end; it requires segment_sum='pallas' and "
                 "grad_readout='bf16'"
+            )
+        if self.stream_format not in ("f32", "packed16"):
+            raise ValueError(f"unknown stream_format {self.stream_format!r}")
+        if self.stream_format == "packed16" and self.binning == "scatter":
+            raise ValueError(
+                "stream_format='packed16' needs the gidk stream for its "
+                "fused backward; binning='scatter' does not produce one"
+            )
+        if self.stream_format == "packed16" and max(
+            self.width, self.height
+        ) > 8192:
+            raise ValueError(
+                "stream_format='packed16' quantizes means to u16 over "
+                "1.1x the image extent; beyond 8192 px that is coarser "
+                "than 1/8 px -- use stream_format='f32'"
             )
         if (
             self.impl == "pallas"

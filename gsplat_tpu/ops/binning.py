@@ -708,6 +708,26 @@ def bin_gaussians(
     )
 
 
+def features_f32(proj: ProjectedGaussians, cfg: RenderConfig) -> jnp.ndarray:
+    """The (NUM_FEATURES, N) f32 per-Gaussian render-feature table in FEAT_*
+    row order (what the reference packs as its 64-B GaussianData records,
+    reference: src/process_gaussians.wgsl:8-15)."""
+    return jnp.stack(
+        [
+            proj.uv[:, 0] * cfg.width,
+            proj.uv[:, 1] * cfg.height,
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            proj.color[:, 0],
+            proj.color[:, 1],
+            proj.color[:, 2],
+            proj.opacity,
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+
+
 def gather_features(
     proj: ProjectedGaussians, binned: BinnedGaussians, cfg: RenderConfig
 ) -> jnp.ndarray:
@@ -720,22 +740,7 @@ def gather_features(
     gradients back to Gaussians) is exactly the gradient accumulation the
     CUDA 3DGS backward does with atomics, but expressed as one XLA scatter.
     """
-    gx = proj.uv[:, 0] * cfg.width
-    gy = proj.uv[:, 1] * cfg.height
-    feats = jnp.stack(
-        [
-            gx,
-            gy,
-            proj.conic[:, 0],
-            proj.conic[:, 1],
-            proj.conic[:, 2],
-            proj.color[:, 0],
-            proj.color[:, 1],
-            proj.color[:, 2],
-            proj.opacity,
-        ],
-        axis=0,
-    ).astype(jnp.float32)  # (F, N)
+    feats = features_f32(proj, cfg)
     if binned.sorted_gidk is None:
         # 'scatter' binning: plain differentiable gather (autodiff transpose
         # is an XLA scatter-add -- slow on TPU, but this mode is not the

@@ -44,6 +44,22 @@ from jax.experimental.pallas import tpu as pltpu
 from gsplat_tpu.config import RenderConfig
 from gsplat_tpu.ops import blend as blend_ops
 from gsplat_tpu.ops.binning import NUM_FEATURES, PADDED_FEATURES
+
+
+def _feat_rows(cfg: RenderConfig) -> int:
+    """Sublane rows of the (padded) feature stream: 8 for the packed16
+    int32 stream (5 payload rows), PADDED_FEATURES for f32."""
+    return 8 if cfg.stream_format == "packed16" else PADDED_FEATURES
+
+
+def _feat_block(feat, cfg: RenderConfig):
+    """Unpack a VMEM feature block to NUM_FEATURES f32 rows when the
+    stream is packed16 (bit ops + converts only; Mosaic-safe)."""
+    if cfg.stream_format == "packed16":
+        from gsplat_tpu.ops.stream16 import unpack_block
+
+        return unpack_block(feat, cfg)
+    return feat
 from gsplat_tpu.ops.blend import (
     BlendCarry,
     blend_block,
@@ -118,7 +134,7 @@ def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: Re
             dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
         dma(slot, i).wait()
-        feat = buf[slot]  # (NUM_FEATURES, g)
+        feat = _feat_block(buf[slot], cfg)  # (NUM_FEATURES+, g) f32
         idx = base + i * g + lane
         in_range = (idx >= start) & (idx < end)
         carry = BlendCarry(color=out_ref[0, 0:3, :], trans=trans, done=done)
@@ -213,7 +229,7 @@ def _bwd_kernel(
         def _():
             dma_out(slot, i - 2).wait()
 
-        feat = buf[slot]
+        feat = _feat_block(buf[slot], cfg)
         idx = base + i * g + lane
         in_range = (idx >= start) & (idx < end)
         carry = BlendCarry(color=jnp.zeros((3, p), jnp.float32), trans=trans, done=done)
@@ -266,18 +282,17 @@ def _bwd_kernel(
         dma_out(jax.lax.rem(final_i - 1, 2), final_i - 1).wait()
 
 
-def _pad_features(features: jnp.ndarray, g: int) -> jnp.ndarray:
-    """Pad rows to the sublane tile (PADDED_FEATURES) and lanes by one block
-    so the last block's DMA slice never reads out of bounds."""
-    return jnp.pad(
-        features, ((0, PADDED_FEATURES - features.shape[0]), (0, g))
-    )
+def _pad_features(features: jnp.ndarray, g: int, rows: int) -> jnp.ndarray:
+    """Pad rows to the sublane tile (`rows`) and lanes by one block so the
+    last block's DMA slice never reads out of bounds."""
+    return jnp.pad(features, ((0, rows - features.shape[0]), (0, g)))
 
 
 def _fwd_pallas_call(features, ranges, offset, num_tiles, cfg: RenderConfig):
     g = cfg.pallas_block_size
     p = cfg.pixels_per_tile
-    feats_padded = _pad_features(features, g)
+    fr = _feat_rows(cfg)
+    feats_padded = _pad_features(features, g, fr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -287,7 +302,7 @@ def _fwd_pallas_call(features, ranges, offset, num_tiles, cfg: RenderConfig):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
+            pltpu.VMEM((2, fr, g), features.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -305,7 +320,8 @@ def _fwd_pallas_call(features, ranges, offset, num_tiles, cfg: RenderConfig):
 def _bwd_pallas_call(features, ranges, offset, g_tile, num_tiles, cfg: RenderConfig):
     g = cfg.pallas_block_size
     p = cfg.pixels_per_tile
-    feats_padded = _pad_features(features, g)
+    fr = _feat_rows(cfg)
+    feats_padded = _pad_features(features, g, fr)
     max_ip = feats_padded.shape[1]
     dzero = jnp.zeros((PADDED_FEATURES, max_ip), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -321,7 +337,7 @@ def _bwd_pallas_call(features, ranges, offset, g_tile, num_tiles, cfg: RenderCon
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
+            pltpu.VMEM((2, fr, g), features.dtype),
             pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
             pltpu.VMEM((PADDED_FEATURES, g), jnp.float32),  # block-0 RMW
             pltpu.SemaphoreType.DMA((2,)),

@@ -1,0 +1,177 @@
+"""Packed 16-bit forward feature stream (cfg.stream_format='packed16').
+
+The slot-order feature gather is the single largest op of the fwd+bwd frame
+(~25 ms of ~149 at 1080p/1M, PROFILE.md) and XLA TPU gathers pay per
+ELEMENT, so halving the row count halves the cost. This module packs the
+NUM_FEATURES=9 f32 rows into 5 int32 rows:
+
+    row 0: gx | gy << 16     u16 fixed-point, scale-adaptive affine over
+                             1.1x the image extent (~1/30 px at 1080p)
+    rows 1-4: bf16 pairs     (ca|cb), (cc|r), (g|b), (opacity|0)
+                             -- binning._pack_bf16_pairs layout
+
+int32 typing end-to-end: a bf16 pair whose high half is zero is an f32
+DENORMAL bit pattern, and TPU compute ops flush denormals to zero (see
+ops/binning.py gather_backward='bf16' note). Integers are flush-proof.
+
+Quantization error: means <= 1/(2s) px (~0.017 px at 1080p -- finer than
+the reference's own half-float buffers would give); conic/color/opacity
+~0.4% relative (bf16). Gradients are STRAIGHT-THROUGH onto the f32
+features: the hand-derived raster backward differentiates the unpacked
+values, and the quantizer's Jacobian is treated as identity -- the standard
+quantized-inference/training contract.
+
+Because an int32 array cannot carry JAX cotangents, pack -> gather ->
+rasterize is ONE fused custom_vjp here (`rasterize_packed16`) rather than
+the separate differentiable gather + raster VJPs of the f32 path.
+
+Single-device only: the tile-sharded path renders global pixel coordinates
+against a local cfg (quant ranges would disagree) and the Gaussian-sharded
+fragment exchange reads raw feature rows; both assert stream_format='f32'.
+
+Reference parity note: the reference streams full-f32 Gaussian records to
+its WGSL blend (reference: src/compute_tiles.wgsl, 64-B GaussianData); this
+is a TPU-side compression of that stream, off by default.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.config import RenderConfig
+from gsplat_tpu.ops.binning import (
+    NUM_FEATURES,
+    _gather_slots_bwd,
+    _pack_bf16_pairs,
+)
+
+
+def quant_params(cfg: RenderConfig) -> tuple[float, float, float, float]:
+    """(lox, sx, loy, sy): q = round((v - lo) * s) in [0, 65535]; v = q/s+lo.
+    The range covers uv in [(1-l)/2, (1+l)/2] * extent (the frustum cull
+    admits |ndc| < l = cfg.frustum_ndc_limit), so every valid mean fits."""
+    l = float(cfg.frustum_ndc_limit)
+    lox = (1.0 - l) / 2.0 * cfg.width
+    loy = (1.0 - l) / 2.0 * cfg.height
+    sx = 65535.0 / (l * cfg.width)
+    sy = 65535.0 / (l * cfg.height)
+    return lox, sx, loy, sy
+
+
+def pack_stream(feats: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """(NUM_FEATURES, N) f32 -> (5, N) int32 packed stream."""
+    lox, sx, loy, sy = quant_params(cfg)
+    qx = jnp.clip(
+        jnp.round((feats[0] - lox) * sx), 0.0, 65535.0
+    ).astype(jnp.int32)
+    qy = jnp.clip(
+        jnp.round((feats[1] - loy) * sy), 0.0, 65535.0
+    ).astype(jnp.int32)
+    row0 = qx | jax.lax.shift_left(qy, jnp.int32(16))
+    pairs = jax.lax.bitcast_convert_type(
+        _pack_bf16_pairs(feats[2:NUM_FEATURES]), jnp.int32
+    )  # (4, N): (ca|cb), (cc|r), (g|b), (op|0)
+    return jnp.concatenate([row0[None], pairs], axis=0)
+
+
+def unpack_block(feat_i32: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """(>=5, G) int32 packed block -> (NUM_FEATURES, G) f32. Pure jnp on
+    values, Mosaic-safe (bit ops + u32->f32 converts only), so the Pallas
+    kernels call it directly on VMEM blocks."""
+    lox, sx, loy, sy = quant_params(cfg)
+    u = jax.lax.bitcast_convert_type(feat_i32[:5], jnp.uint32)
+    # u32 -> i32 -> f32: Mosaic has no u32->f32 convert; both halves are
+    # <= 65535 so the int32 round-trip is exact.
+    qx = (u[0:1] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    qy = (u[0:1] >> 16).astype(jnp.int32)
+    gx = qx.astype(jnp.float32) * (1.0 / sx) + lox
+    gy = qy.astype(jnp.float32) * (1.0 / sy) + loy
+    even = jax.lax.bitcast_convert_type(u[1:5] << 16, jnp.float32)
+    odd = jax.lax.bitcast_convert_type(
+        u[1:5] & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    # FEAT order: gx, gy, ca, cb, cc, r, g, b, opacity.
+    return jnp.concatenate(
+        [gx, gy, even[0:1], odd[0:1], even[1:2], odd[1:2], even[2:3],
+         odd[2:3], even[3:4]],
+        axis=0,
+    )
+
+
+def _gather_packed(feats, sorted_gid, cfg):
+    packed = pack_stream(feats, cfg)
+    g = jnp.where(sorted_gid < 0, feats.shape[1], sorted_gid)
+    return jnp.take(packed, g, axis=1, mode="fill", fill_value=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def rasterize_packed16(feats, sorted_gid, gidk, offsets, counts, ranges,
+                       tile_offset, cfg: RenderConfig, lcfg: RenderConfig):
+    """feats (NUM_FEATURES, N) f32 -> (image, trans) through the packed
+    stream. One custom_vjp spanning quantize -> slot gather -> rasterize
+    (an int32 intermediate cannot carry cotangents between separate VJPs).
+    lcfg describes the rasterized tile rows (== cfg off the sharded path)."""
+    out, _ = _rasterize_p16_fwd_impl(feats, sorted_gid, ranges, tile_offset,
+                                     cfg, lcfg)
+    return out
+
+
+def _rasterize_p16_fwd_impl(feats, sorted_gid, ranges, tile_offset, cfg,
+                            lcfg):
+    slots = _gather_packed(feats, sorted_gid, cfg)  # (5, max_I) int32
+    offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
+    if cfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas import raster as R
+
+        (image, trans), res = R._rasterize_fwd(slots, ranges, offset, lcfg)
+        return (image, trans), res
+    slots9 = unpack_block(slots, cfg)
+    from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+    (image, trans), vjp = jax.vjp(
+        lambda s: rasterize_tiles_jnp(s, ranges, lcfg, tile_offset=offset[0]),
+        slots9,
+    )
+    del vjp  # recomputed in the bwd (residual closures can't be saved)
+    return (image, trans), (slots9, ranges, offset)
+
+
+def _rasterize_p16_fwd(feats, sorted_gid, gidk, offsets, counts, ranges,
+                       tile_offset, cfg, lcfg):
+    out, raster_res = _rasterize_p16_fwd_impl(
+        feats, sorted_gid, ranges, tile_offset, cfg, lcfg
+    )
+    return out, (raster_res, gidk, offsets, counts)
+
+
+def _rasterize_p16_bwd(cfg, lcfg, residuals, grads):
+    raster_res, gidk, offsets, counts = residuals
+    if cfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas import raster as R
+
+        dslot = R._rasterize_bwd(lcfg, raster_res, grads)[0]  # (F, M)
+    else:
+        slots9, ranges, offset = raster_res
+        from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+        _, vjp = jax.vjp(
+            lambda s: rasterize_tiles_jnp(
+                s, ranges, lcfg, tile_offset=offset[0]
+            ),
+            slots9,
+        )
+        dslot = vjp(grads)[0]
+    segsum = cfg.segment_sum
+    if segsum == "pallas" and cfg.pallas_interpret:
+        segsum = "pallas_interpret"
+    dfeats = _gather_slots_bwd(
+        cfg.max_tiles_per_gaussian, cfg.gather_backward, cfg.grad_readout,
+        segsum, (gidk, offsets, counts), dslot,
+    )[0]
+    return dfeats, None, None, None, None, None, None
+
+
+rasterize_packed16.defvjp(_rasterize_p16_fwd, _rasterize_p16_bwd)

@@ -290,6 +290,11 @@ def render_gaussian_sharded(
     Returns (image (H, W, 3), transmittance (H, W), overflow ()); the image
     comes out sharded over rows, like render_tile_sharded.
     """
+    if cfg.stream_format != "f32":
+        raise NotImplementedError(
+            "Gaussian-sharded fragment exchange reads raw f32 feature "
+            "rows; stream_format='packed16' is single-device only"
+        )
     d = mesh.shape[axis_name]
     lcfg = local_tile_cfg(cfg, d)
     cap = per_dest_capacity or max(cfg.max_intersections // d, 1)

@@ -83,6 +83,12 @@ def _render_local_tiles(scene, camera, cfg: RenderConfig, lcfg: RenderConfig,
                         shard_idx, axis_name: str):
     """Per-shard body: project all, bin/blend only this shard's tile rows.
     Returns (image_band, trans_band) of the PADDED image."""
+    if cfg.stream_format != "f32":
+        raise NotImplementedError(
+            "tile-sharded rendering renders global pixel coordinates "
+            "against a local cfg; stream_format='packed16' quant ranges "
+            "would disagree -- use stream_format='f32'"
+        )
     tile_start = shard_idx * lcfg.num_tiles
     proj = project_gaussians(scene, camera, cfg)
     binned = bin_gaussians(

@@ -46,13 +46,26 @@ def render(
 ) -> RenderOutput:
     proj = project_gaussians(scene, camera, cfg, uv_tap=uv_tap)
     binned = bin_gaussians(proj, cfg)
-    features = gather_features(proj, binned, cfg)
 
-    if cfg.impl == "pallas":
+    if cfg.stream_format == "packed16":
+        # Quantized forward stream: quantize -> gather -> rasterize is one
+        # fused custom_vjp (ops/stream16.py) with straight-through f32
+        # gradients.
+        from gsplat_tpu.ops.binning import features_f32
+        from gsplat_tpu.ops.stream16 import rasterize_packed16
+
+        image, trans = rasterize_packed16(
+            features_f32(proj, cfg), binned.sorted_gid, binned.sorted_gidk,
+            binned.gauss_offsets, binned.gauss_counts, binned.ranges, 0,
+            cfg, cfg,
+        )
+    elif cfg.impl == "pallas":
         from gsplat_tpu.ops.pallas.raster import rasterize_pallas
 
+        features = gather_features(proj, binned, cfg)
         image, trans = rasterize_pallas(features, binned.ranges, cfg)
     else:
+        features = gather_features(proj, binned, cfg)
         image, trans = rasterize_tiles_jnp(features, binned.ranges, cfg)
 
     if background is not None:

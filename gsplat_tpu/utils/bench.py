@@ -43,6 +43,7 @@ def run_bench(
     gather_backward: str | None = None,
     grad_readout: str | None = None,
     segment_sum: str | None = None,
+    stream_format: str | None = None,
 ) -> dict:
     """sharded_tiles=N benches the tile-sharded distributed path on an
     N-device 'tiles' mesh (x data_shards-way data parallelism): the full
@@ -62,6 +63,8 @@ def run_bench(
         extra["grad_readout"] = grad_readout
     if segment_sum is not None:
         extra["segment_sum"] = segment_sum
+    if stream_format is not None:
+        extra["stream_format"] = stream_format
     cfg = RenderConfig(
         width=width,
         height=height,

@@ -1,0 +1,73 @@
+"""Packed 16-bit forward stream (cfg.stream_format='packed16') vs the exact
+f32 path: pack/unpack round trip, forward image parity to quantization
+tolerance, straight-through gradients, jnp and Pallas(interpret) impls."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import Camera, RenderConfig, random_scene
+from gsplat_tpu.ops.binning import NUM_FEATURES
+from gsplat_tpu.render.pipeline import render, render_loss
+from gsplat_tpu.ops.stream16 import pack_stream, unpack_block
+
+CFG = RenderConfig(
+    width=64, height=64, tile_size=8, max_intersections=1 << 13,
+    max_tiles_per_gaussian=64, block_size=8, max_per_tile=256,
+    binning="tiered", tier_spec=(8, 5, 64), pallas_interpret=True,
+)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    n = 500
+    feats = np.zeros((NUM_FEATURES, n), np.float32)
+    feats[0] = rng.uniform(-3.0, 67.0, n)        # gx within 1.1x extent
+    feats[1] = rng.uniform(-3.0, 67.0, n)
+    feats[2:] = rng.normal(size=(7, n))
+    out = np.asarray(unpack_block(pack_stream(jnp.asarray(feats), CFG), CFG))
+    # means: fixed-point over 1.1*64 px at u16 -> step ~0.0011 px
+    assert np.abs(out[:2] - feats[:2]).max() < 1.1 * 64 / 65535
+    # the rest: bf16 rounding
+    ref = feats[2:].astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(out[2:], ref)
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_packed16_image_close_to_f32(impl):
+    cfg = dataclasses.replace(CFG, impl=impl)
+    cfg_p = dataclasses.replace(cfg, stream_format="packed16")
+    scene = random_scene(jax.random.key(3), 200, sh_degree=2)
+    cam = Camera.default(cfg.width, cfg.height)
+    img_f = np.asarray(jax.jit(lambda s: render(s, cam, cfg).image)(scene))
+    img_p = np.asarray(jax.jit(lambda s: render(s, cam, cfg_p).image)(scene))
+    assert img_p.max() > 0.01
+    # bf16 conic/opacity -> ~0.4% alpha noise; images agree to ~1e-2 abs.
+    assert np.abs(img_f - img_p).max() < 2e-2, np.abs(img_f - img_p).max()
+    assert np.abs(img_f - img_p).mean() < 1e-3
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_packed16_grads_close_to_f32(impl):
+    cfg = dataclasses.replace(CFG, impl=impl)
+    cfg_p = dataclasses.replace(cfg, stream_format="packed16")
+    scene = random_scene(jax.random.key(4), 150, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(5), (64, 64, 3))
+    g_f = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    g_p = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_p)))(scene)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_p)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-6)
+        # straight-through gradients of a quantized forward: close, not equal
+        assert float(np.abs(a - b).max()) <= 0.05 * scale, (
+            float(np.abs(a - b).max()) / scale
+        )
+
+
+def test_packed16_rejects_scatter_and_sharded():
+    with pytest.raises(ValueError, match="gidk"):
+        dataclasses.replace(CFG, stream_format="packed16", binning="scatter")

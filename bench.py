@@ -87,6 +87,11 @@ def main():
             gather_backward="c64" if args.exact_grads else "bf16",
             grad_readout="f32" if args.exact_grads else "bf16",
             segment_sum="pallas",
+            # Packed16 forward stream by default: fit-quality parity with
+            # f32 measured on the 800-step demo (24.58 vs 24.71 dB;
+            # PROFILE.md), and the raster backward emits bf16-packed slot
+            # grads in-kernel. --exact-grads restores f32 end-to-end.
+            stream_format="f32" if args.exact_grads else "packed16",
             scene_kind=args.scene,
         )
     else:

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out-dir", default="examples/out")
+    ap.add_argument("--fast", action="store_true",
+                    help="the mixed-precision production path: bf16-packed "
+                    "gather backward + Pallas segsum (bench.py default)")
+    ap.add_argument("--stream-format", default="f32",
+                    choices=["f32", "packed16"])
     args = ap.parse_args()
 
     from gsplat_tpu import Camera, RenderConfig, random_scene, render
@@ -37,6 +42,9 @@ def main():
         max_tiles_per_gaussian=64, block_size=16, max_per_tile=1024,
         binning="packed",
         impl="pallas" if jax.default_backend() == "tpu" else "jnp",
+        stream_format=args.stream_format,
+        **(dict(gather_backward="bf16", grad_readout="bf16",
+                segment_sum="pallas") if args.fast else {}),
     )
     target_scene = random_scene(jax.random.key(0), args.n, sh_degree=2)
     # Center the cloud at the origin so the orbit sees it from every view

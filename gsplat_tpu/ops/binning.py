@@ -814,6 +814,37 @@ def _gather_slots_fwd(kmax: int, strategy: str, readout: str, segsum: str,
     return out, (gidk, offsets, counts)
 
 
+def packed_grad_reduce(kmax: int, segsum: str, key, xp_i32, f: int, offsets,
+                       counts):
+    """Reduce an int32 bf16-pair-packed slot-gradient stream to per-Gaussian
+    (f, N) f32 gradients: one (1 + P)-operand sort to gid-major runs, the
+    packed Pallas segsum kernel, and the pair-packed run-start take. Used by
+    the 'bf16' gather backward (which packs dslot first) and the packed16
+    raster backward (whose Pallas kernel emits dslot already packed)."""
+    from gsplat_tpu.ops.pallas.segsum import segmented_suffix_sum
+
+    m_i = key.shape[0]
+    p = xp_i32.shape[0]
+    sorted_all = jax.lax.sort(
+        (key,) + tuple(xp_i32[i] for i in range(p)), num_keys=1,
+        is_stable=False,
+    )
+    rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+    xpacked = jnp.stack(sorted_all[1:])  # (P, m_i) int32
+    xsum = segmented_suffix_sum(
+        xpacked, rows, kmax=kmax, packed=True,
+        interpret=segsum.endswith("interpret"),
+    )  # (P, M_pad) int32 packed bf16 run totals
+    offs = jnp.clip(offsets, 0, m_i - 1)
+    dgauss = _unpack_bf16_pairs(
+        jax.lax.bitcast_convert_type(
+            jnp.take(xsum, offs, axis=1), jnp.float32
+        ),
+        f,
+    )
+    return dgauss * (counts > 0)[None, :].astype(dgauss.dtype)
+
+
 def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
                       res, dslot):
     """Slot gradients -> per-Gaussian gradients without any scatter; see
@@ -877,25 +908,9 @@ def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
         xp = jax.lax.bitcast_convert_type(
             _pack_bf16_pairs(dslot), jnp.int32
         )  # (P, m_i) int32 lanes = bf16 pairs
-        p = xp.shape[0]
-        sorted_all = jax.lax.sort(
-            (key,) + tuple(xp[i] for i in range(p)), num_keys=1,
-            is_stable=False,
+        dgauss = packed_grad_reduce(
+            kmax, segsum, key, xp, NUM_FEATURES, offsets, counts
         )
-        rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
-        xpacked = jnp.stack(sorted_all[1:])  # (P, m_i) int32
-        xsum = segmented_suffix_sum(
-            xpacked, rows, kmax=kmax, packed=True,
-            interpret=segsum.endswith("interpret"),
-        )  # (P, M_pad) int32 packed bf16 run totals
-        offs = jnp.clip(offsets, 0, m_i - 1)
-        dgauss = _unpack_bf16_pairs(
-            jax.lax.bitcast_convert_type(
-                jnp.take(xsum, offs, axis=1), jnp.float32
-            ),
-            f,
-        )
-        dgauss = dgauss * (counts > 0)[None, :].astype(dgauss.dtype)
         return dgauss, None, None, None, None
     else:
         # One variadic sort carrying the gradient rows as values, instead of

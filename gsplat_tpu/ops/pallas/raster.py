@@ -60,6 +60,54 @@ def _feat_block(feat, cfg: RenderConfig):
 
         return unpack_block(feat, cfg)
     return feat
+
+
+def _pack_grads(cfg: RenderConfig) -> bool:
+    """In the fully-packed fast mode the backward kernel emits the slot
+    gradients already bf16-pair-packed as int32 (binning._pack_bf16_pairs
+    layout), skipping the ~3 ms XLA pack relayout and halving the output
+    DMA. Only possible on the packed16 path, where raster bwd and gather
+    bwd live inside ONE fused custom_vjp (ops/stream16.py) -- the plain
+    path's VJP boundary requires f32 cotangents."""
+    return (
+        cfg.stream_format == "packed16" and cfg.gather_backward == "bf16"
+    )
+
+
+def _pack_grad_block(dfeat, g: int):
+    """(NUM_FEATURES, g) f32 -> (8, g) int32 bf16-pair rows (+3 zero pad
+    rows). Row pairing matches binning._pack_bf16_pairs (even row low)."""
+    from gsplat_tpu.ops.pallas.segsum import _rne_bf16_bits
+
+    lo = jnp.concatenate(
+        [dfeat[0:1], dfeat[2:3], dfeat[4:5], dfeat[6:7], dfeat[8:9]], axis=0
+    )
+    hi = jnp.concatenate(
+        [dfeat[1:2], dfeat[3:4], dfeat[5:6], dfeat[7:8],
+         jnp.zeros((1, g), jnp.float32)],
+        axis=0,
+    )
+    packed = (_rne_bf16_bits(lo) >> 16) | _rne_bf16_bits(hi)  # (5, g) u32
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(packed, jnp.int32),
+            jnp.zeros((3, g), jnp.int32),
+        ],
+        axis=0,
+    )
+
+
+def _unpack_grad_block(pblock):
+    """Inverse of _pack_grad_block: (>=5, g) int32 -> (NUM_FEATURES, g)
+    f32 (bf16-rounded values)."""
+    u = jax.lax.bitcast_convert_type(pblock[:5], jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return jnp.concatenate(
+        [lo[0:1], hi[0:1], lo[1:2], hi[1:2], lo[2:3], hi[2:3], lo[3:4],
+         hi[3:4], lo[4:5]],
+        axis=0,
+    )
 from gsplat_tpu.ops.blend import (
     BlendCarry,
     blend_block,
@@ -237,18 +285,30 @@ def _bwd_kernel(
             carry, feat, px, py, in_range, g_color, b_total, accum_b, cfg,
             cumsum_fn=cumsum,
         )
-        dbuf[slot] = jnp.concatenate(
-            [dfeat, jnp.zeros((PADDED_FEATURES - NUM_FEATURES, g), jnp.float32)],
-            axis=0,
-        )
+        if _pack_grads(cfg):
+            dbuf[slot] = _pack_grad_block(dfeat, g)
+        else:
+            dbuf[slot] = jnp.concatenate(
+                [dfeat,
+                 jnp.zeros((PADDED_FEATURES - NUM_FEATURES, g), jnp.float32)],
+                axis=0,
+            )
 
         @pl.when(i == 0)
         def _():
-            # RMW: fold in the previous tile's overhang contribution.
+            # RMW: fold in the previous tile's overhang contribution (f32
+            # accumulate; on the packed path the previous tile's packed
+            # overhang is unpacked, added, and re-rounded -- one extra bf16
+            # rounding on boundary lanes only).
             rd = dma_read_out(0)
             rd.start()
             rd.wait()
-            dbuf[slot] = dbuf[slot] + rbuf[...]
+            if _pack_grads(cfg):
+                dbuf[slot] = _pack_grad_block(
+                    dfeat + _unpack_grad_block(rbuf[...]), g
+                )
+            else:
+                dbuf[slot] = dbuf[slot] + rbuf[...]
             wr = dma_out(slot, 0)
             wr.start()
             wr.wait()
@@ -323,7 +383,11 @@ def _bwd_pallas_call(features, ranges, offset, g_tile, num_tiles, cfg: RenderCon
     fr = _feat_rows(cfg)
     feats_padded = _pad_features(features, g, fr)
     max_ip = feats_padded.shape[1]
-    dzero = jnp.zeros((PADDED_FEATURES, max_ip), jnp.float32)
+    grows, gdtype = (
+        (8, jnp.int32) if _pack_grads(cfg) else
+        (PADDED_FEATURES, jnp.float32)
+    )
+    dzero = jnp.zeros((grows, max_ip), gdtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -338,8 +402,8 @@ def _bwd_pallas_call(features, ranges, offset, g_tile, num_tiles, cfg: RenderCon
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, fr, g), features.dtype),
-            pltpu.VMEM((2, PADDED_FEATURES, g), jnp.float32),
-            pltpu.VMEM((PADDED_FEATURES, g), jnp.float32),  # block-0 RMW
+            pltpu.VMEM((2, grows, g), gdtype),
+            pltpu.VMEM((grows, g), gdtype),  # block-0 RMW
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -348,14 +412,15 @@ def _bwd_pallas_call(features, ranges, offset, g_tile, num_tiles, cfg: RenderCon
     dfeat = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((PADDED_FEATURES, max_ip), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grows, max_ip), gdtype),
         input_output_aliases={4: 0},  # dzero (arg idx incl. prefetch) -> dfeat
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=cfg.pallas_interpret,
     )(ranges, offset, g_tile, feats_padded, dzero)
-    return dfeat[:NUM_FEATURES, : features.shape[1]]
+    out_rows = 5 if _pack_grads(cfg) else NUM_FEATURES
+    return dfeat[:out_rows, : features.shape[1]]
 
 
 def _tiles_to_image(tile_colors, cfg: RenderConfig):

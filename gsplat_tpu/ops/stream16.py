@@ -167,10 +167,22 @@ def _rasterize_p16_bwd(cfg, lcfg, residuals, grads):
     segsum = cfg.segment_sum
     if segsum == "pallas" and cfg.pallas_interpret:
         segsum = "pallas_interpret"
-    dfeats = _gather_slots_bwd(
-        cfg.max_tiles_per_gaussian, cfg.gather_backward, cfg.grad_readout,
-        segsum, (gidk, offsets, counts), dslot,
-    )[0]
+    if dslot.dtype == jnp.int32:
+        # The raster backward kernel emitted the slot gradients already
+        # bf16-pair-packed (ops/pallas/raster.py _pack_grads): go straight
+        # to the packed sort + segsum + readout.
+        from gsplat_tpu.ops.binning import packed_grad_reduce
+
+        key = jnp.where(gidk >= 0, gidk, jnp.int32(2**31 - 1))
+        dfeats = packed_grad_reduce(
+            cfg.max_tiles_per_gaussian, segsum, key, dslot, NUM_FEATURES,
+            offsets, counts,
+        )
+    else:
+        dfeats = _gather_slots_bwd(
+            cfg.max_tiles_per_gaussian, cfg.gather_backward,
+            cfg.grad_readout, segsum, (gidk, offsets, counts), dslot,
+        )[0]
     return dfeats, None, None, None, None, None, None
 
 

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--gather-backward", default="variadic")
     ap.add_argument("--grad-readout", default="f32")
     ap.add_argument("--segment-sum", default="doubling")
+    ap.add_argument("--stream-format", default="f32")
     args = ap.parse_args()
 
     from gsplat_tpu.config import RenderConfig
@@ -46,6 +47,7 @@ def main():
         gather_backward=args.gather_backward,
         grad_readout=args.grad_readout,
         segment_sum=args.segment_sum,
+        stream_format=args.stream_format,
     )
     scene = jax.device_put(random_scene(jax.random.key(0), 1_000_000, sh_degree=3))
     cam = Camera.default(cfg.width, cfg.height)

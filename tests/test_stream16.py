@@ -71,3 +71,27 @@ def test_packed16_grads_close_to_f32(impl):
 def test_packed16_rejects_scatter_and_sharded():
     with pytest.raises(ValueError, match="gidk"):
         dataclasses.replace(CFG, stream_format="packed16", binning="scatter")
+
+
+def test_packed16_with_packed_grad_emission():
+    """The fully-packed fast mode: packed16 stream + bf16 gather backward.
+    The Pallas raster backward emits the slot gradients already bf16-pair-
+    packed (raster.py _pack_grads); grads must match the f32-emission
+    packed16 path to bf16 tolerance."""
+    cfg_ref = dataclasses.replace(CFG, impl="pallas",
+                                  stream_format="packed16")
+    cfg_fast = dataclasses.replace(
+        cfg_ref, gather_backward="bf16", grad_readout="bf16",
+        segment_sum="pallas",
+    )
+    scene = random_scene(jax.random.key(8), 150, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = jax.random.uniform(jax.random.key(9), (64, 64, 3))
+    g_ref = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_ref)))(scene)
+    g_fast = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg_fast)))(scene)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fast)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(a - b).max()) <= 0.03 * scale, (
+            float(np.abs(a - b).max()) / scale
+        )

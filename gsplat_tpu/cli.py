@@ -34,6 +34,10 @@ def _build_cfg(args, width: int, height: int):
         sh_degree=args.sh_degree,
         impl=args.impl,
         binning=args.binning,
+        gather_backward=args.gather_backward,
+        grad_readout=args.grad_readout,
+        segment_sum=args.segment_sum,
+        stream_format=args.stream_format,
     )
 
 
@@ -49,6 +53,16 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--impl", default="jnp", choices=["jnp", "pallas"])
     p.add_argument("--binning", default="sort", choices=["sort", "scatter", "packed", "tiered"])
+    p.add_argument("--gather-backward", default="variadic",
+                   choices=["variadic", "permute", "c64", "bf16"],
+                   help="slot-gradient reduction strategy (see RenderConfig)")
+    p.add_argument("--grad-readout", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--segment-sum", default="doubling",
+                   choices=["doubling", "pallas"])
+    p.add_argument("--stream-format", default="f32",
+                   choices=["f32", "packed16"],
+                   help="packed16: 5 int32 rows instead of 9 f32 (fastest; "
+                   "quantized forward, straight-through grads)")
 
 
 def _load_scene(args):

@@ -803,7 +803,12 @@ def _gather_slots(kmax: int, strategy: str, readout: str, segsum: str, feats,
     Requires every valid candidate to be present in the stream, which holds
     whenever the overflow flag is clear."""
     g = jnp.where(gid < 0, feats.shape[1], gid)
-    return jnp.take(feats, g, axis=1, mode="fill", fill_value=0.0)
+    # Zero column + clip instead of mode='fill': fill materializes a
+    # (max_I,) pred + select over the gathered stream (~1 ms + a 4.1M pred
+    # copy in the profile); the padded table gets the same zero features
+    # (zero opacity -> no contribution) for free.
+    feats_pad = jnp.pad(feats, ((0, 0), (0, 1)))
+    return jnp.take(feats_pad, g, axis=1, mode="clip")
 
 
 def _gather_slots_fwd(kmax: int, strategy: str, readout: str, segsum: str,

@@ -104,7 +104,11 @@ def unpack_block(feat_i32: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
 def _gather_packed(feats, sorted_gid, cfg):
     packed = pack_stream(feats, cfg)
     g = jnp.where(sorted_gid < 0, feats.shape[1], sorted_gid)
-    return jnp.take(packed, g, axis=1, mode="fill", fill_value=0)
+    # Zero column + clip, not mode='fill' (see binning._gather_slots): a
+    # zero packed column unpacks to zero opacity, so invalid slots cannot
+    # contribute.
+    packed_pad = jnp.pad(packed, ((0, 0), (0, 1)))
+    return jnp.take(packed_pad, g, axis=1, mode="clip")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))

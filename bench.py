@@ -43,6 +43,14 @@ def main():
 
     import jax
 
+    # This image's sitecustomize imports jax before us, so JAX_PLATFORMS
+    # from the environment was consumed already; re-apply it (backends
+    # initialize lazily, same trick as tests/conftest.py). Enables CPU-mesh
+    # runs of --sharded-tiles: JAX_PLATFORMS=cpu
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 python bench.py ...
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     # Persistent compilation cache: the full fwd+bwd graph takes ~19 min to
     # compile cold (the 11-operand gather-backward sort dominates XLA's
     # sort-expander pass); warm runs reuse the serialized executable.
@@ -137,6 +145,9 @@ def main():
             sharded_tiles=args.sharded_tiles,
             data_shards=args.data_shards,
             ssim_weight=args.ssim_weight,
+            # The tile-sharded path renders global pixel coordinates
+            # against a local cfg; packed16 quant ranges would disagree.
+            stream_format="f32",
         )
         # Per-shard capacity: each shard sorts/blends only its tile rows.
         kwargs["max_intersections"] = max(

@@ -78,6 +78,9 @@ def main():
         init, cameras, targets, cfg,
         steps=args.steps, lr=2e-2, batch=2, log_every=50,
         densify_every=100, densify_grad_threshold=5e-5,
+        # 3DGS 5.2 big-splat prune: without it, repeated splits can grow a
+        # few splats past K_max's tile rect and trip the overflow policy.
+        densify_max_scale=0.1 * radius,
         metrics_csv=os.path.join(args.out_dir, "metrics.csv"),
     )
     fitted = render(trained, cams[0], cfg).image

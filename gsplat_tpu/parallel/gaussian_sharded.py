@@ -185,15 +185,49 @@ def _perm_gather_bwd(res, dout):
 _perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
 
 
-def _merge_received(recv_feats, recv_tile, recv_depth, lcfg: RenderConfig,
-                    align: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _a2a_features_bf16(feat_blocks, axis_name: str):
+    """all_to_all of the (F, D*cap) feature payload with bf16-pair-packed
+    int32 lanes on the wire (int32, never f32: zero-high pairs are f32
+    denormals -- see ops/binning.py). Halves the exchange bytes; gradients
+    ride the transpose all_to_all equally packed (straight-through bf16)."""
+    from gsplat_tpu.ops.binning import _pack_bf16_pairs, _unpack_bf16_pairs
+
+    f = feat_blocks.shape[0]
+    packed = jax.lax.bitcast_convert_type(
+        _pack_bf16_pairs(feat_blocks), jnp.int32
+    )
+    recv = jax.lax.all_to_all(
+        packed, axis_name, split_axis=1, concat_axis=1, tiled=True
+    )
+    return _unpack_bf16_pairs(
+        jax.lax.bitcast_convert_type(recv, jnp.float32), f
+    )
+
+
+def _a2a_features_bf16_fwd(feat_blocks, axis_name: str):
+    return _a2a_features_bf16(feat_blocks, axis_name), feat_blocks.shape[0]
+
+
+def _a2a_features_bf16_bwd(axis_name: str, f, dout):
+    # The tiled all_to_all over one axis is its own transpose (block i of
+    # source s becomes block s of destination i, an involution).
+    return (_a2a_features_bf16(dout, axis_name),)
+
+
+_a2a_features_bf16.defvjp(_a2a_features_bf16_fwd, _a2a_features_bf16_bwd)
+
+
+def _merge_received(recv_feats, recv_key, lcfg: RenderConfig, align: int):
     """Merge D depth-sorted fragments into one per-tile depth-ordered
-    feature stream + ranges for the local tile rows."""
-    m = recv_tile.shape[0]
+    feature stream + ranges for the local tile rows. recv_key is the packed
+    (local_tile << depth_bits | depth_q) u32 merge key, computed at the
+    SOURCE and exchanged instead of separate tile + depth rows (half the
+    metadata bytes; bit-identical merge order)."""
+    m = recv_key.shape[0]
     td = lcfg.num_tiles
     depth_bits = depth_bits_for(td)
-    key = pack_tile_depth_key(recv_tile, recv_depth, td)
-    key = jnp.where(recv_tile >= td, jnp.uint32(0xFFFFFFFF), key)
+    key = recv_key
     perm = jnp.arange(m, dtype=jnp.int32)
     s_key, s_perm = jax.lax.sort_key_val(key, perm)
     s_tile = jnp.minimum(
@@ -211,7 +245,8 @@ def _merge_received(recv_feats, recv_tile, recv_depth, lcfg: RenderConfig,
             s_tile, s_perm, ranges, m, td, align
         )
         overflow = total_padded > m
-    present = recv_tile < td  # every valid received slot lands in the stream
+    # every valid received slot lands in the stream
+    present = key != jnp.uint32(0xFFFFFFFF)
     feats = _perm_gather(recv_feats, s_perm, present)
     return feats, jax.lax.stop_gradient(ranges), overflow
 
@@ -242,20 +277,26 @@ def _shard_render(scene, camera, cfg: RenderConfig, src_cfg: RenderConfig,
     feat_blocks, tile_blocks, depth_row, ovf = _fragment_blocks(
         proj, binned, src_cfg, lcfg, d, cap
     )
+    # Merge key computed at the SOURCE: one u32 row on the wire instead of
+    # tile (i32) + depth (f32).
+    key_blocks = jnp.where(
+        tile_blocks >= lcfg.num_tiles,
+        jnp.uint32(0xFFFFFFFF),
+        pack_tile_depth_key(tile_blocks, depth_row, lcfg.num_tiles),
+    )
     # The fragment exchange: block i on source s becomes block s on
     # destination i. Feature payload (F, D*cap) splits on the slot axis.
-    recv_feats = jax.lax.all_to_all(
-        feat_blocks, axis_name, split_axis=1, concat_axis=1, tiled=True
+    if cfg.fragment_format == "bf16":
+        recv_feats = _a2a_features_bf16(feat_blocks, axis_name)
+    else:
+        recv_feats = jax.lax.all_to_all(
+            feat_blocks, axis_name, split_axis=1, concat_axis=1, tiled=True
+        )
+    recv_key = jax.lax.all_to_all(
+        key_blocks, axis_name, split_axis=0, concat_axis=0, tiled=True
     )
-    recv_tile = jax.lax.all_to_all(
-        tile_blocks, axis_name, split_axis=0, concat_axis=0, tiled=True
-    )
-    recv_depth = jax.lax.all_to_all(
-        depth_row, axis_name, split_axis=0, concat_axis=0, tiled=True
-    )
-    feats, ranges, merge_ovf = _merge_received(
-        recv_feats, recv_tile, recv_depth, lcfg, align
-    )
+    feats, ranges, merge_ovf = _merge_received(recv_feats, recv_key, lcfg,
+                                               align)
     tile_offset = idx * lcfg.num_tiles
     if cfg.impl == "pallas":
         from gsplat_tpu.ops.pallas.raster import rasterize_pallas

@@ -91,8 +91,15 @@ def densify_and_prune(
     split_size: float = 0.01,
     min_opacity: float = 1.0 / 255.0,
     split_scale_down: float = 1.6,
+    max_world_scale: float | None = None,
 ):
     """One densification round. Returns (scene, fresh_state, stats dict).
+
+    max_world_scale, when set, prunes Gaussians whose largest axis exceeds
+    it -- the 3DGS section 5.2 big-splat removal. Without it, splitting can
+    let a few splats grow until their tile rect exceeds K_max and the
+    overflow policy aborts training (the static-capacity analogue of the
+    CUDA impl's unbounded per-splat work).
 
     All shapes static (capacity C preserved); fully jittable.
     """
@@ -139,6 +146,8 @@ def densify_and_prune(
 
     # --- prune + free split parents -------------------------------------
     keep = alive & ~split
+    if max_world_scale is not None:
+        keep = keep & (max_scale <= max_world_scale)
     dead = ~keep
 
     def kill(x, fill, mask):

@@ -125,6 +125,7 @@ def fit(
     densify_every: int = 0,
     densify_grad_threshold: float = 2e-4,
     densify_until: int | None = None,
+    densify_max_scale: float | None = None,
     metrics_csv: str | None = None,
     overflow_policy: str = "raise",
     opacity_reset_every: int = 0,
@@ -164,7 +165,8 @@ def fit(
     state = init_train_state(scene, optimizer)
     dstate = init_densify_state(scene.num_gaussians)
     densify_fn = jax.jit(functools.partial(
-        densify_and_prune, grad_threshold=densify_grad_threshold))
+        densify_and_prune, grad_threshold=densify_grad_threshold,
+        max_world_scale=densify_max_scale))
     if resume:
         state = load_checkpoint(resume, state)
         print(f"resumed from {resume} at step {int(state.step)}")
@@ -184,7 +186,7 @@ def fit(
             return
         demand = int(int_max)
         msg = (
-            f"intersection stream overflowed during step <= {at_step}: "
+            f"capacity overflow during step <= {at_step}: "
             f"measured demand {demand} > capacity "
             f"{cfg.max_intersections} (or a tier pool saturated). "
             f"Gradients were truncated. Re-run with max_intersections >= "

@@ -43,7 +43,7 @@ def test_fit_warn_policy_continues(capsys):
         overflow_policy="warn",
     )
     assert len(metrics) == 2
-    assert "overflowed" in capsys.readouterr().out
+    assert "capacity overflow" in capsys.readouterr().out
 
 
 def test_fit_clean_run_does_not_raise():

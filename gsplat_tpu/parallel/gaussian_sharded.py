@@ -185,34 +185,44 @@ def _perm_gather_bwd(res, dout):
 _perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _a2a_features_bf16(feat_blocks, axis_name: str):
-    """all_to_all of the (F, D*cap) feature payload with bf16-pair-packed
-    int32 lanes on the wire (int32, never f32: zero-high pairs are f32
-    denormals -- see ops/binning.py). Halves the exchange bytes; gradients
-    ride the transpose all_to_all equally packed (straight-through bf16)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _a2a_features_bf16(feat_blocks, axis_name: str, cfg: RenderConfig):
+    """all_to_all of the (F, D*cap) feature payload packed to 5 int32 rows
+    on the wire (int32, never f32: zero-high bf16 pairs are f32 denormals
+    -- see ops/binning.py). The FORWARD uses the stream16 packing (means as
+    u16 fixed-point pairs over the GLOBAL image extent -- bf16 means would
+    be ~8 px coarse at 1080p -- conic/color/opacity as bf16 pairs); the
+    gradient transpose uses plain bf16 pairs (gradients are small floats,
+    not pixel coordinates). ~45% fewer exchange bytes each way."""
+    from gsplat_tpu.ops.stream16 import pack_stream, unpack_block
+
+    recv = jax.lax.all_to_all(
+        pack_stream(feat_blocks, cfg), axis_name, split_axis=1,
+        concat_axis=1, tiled=True,
+    )
+    return unpack_block(recv, cfg)
+
+
+def _a2a_features_bf16_fwd(feat_blocks, axis_name: str, cfg: RenderConfig):
+    return _a2a_features_bf16(feat_blocks, axis_name, cfg), None
+
+
+def _a2a_features_bf16_bwd(axis_name: str, cfg: RenderConfig, res, dout):
     from gsplat_tpu.ops.binning import _pack_bf16_pairs, _unpack_bf16_pairs
 
-    f = feat_blocks.shape[0]
+    # The tiled all_to_all over one axis is its own transpose (block i of
+    # source s becomes block s of destination i, an involution).
     packed = jax.lax.bitcast_convert_type(
-        _pack_bf16_pairs(feat_blocks), jnp.int32
+        _pack_bf16_pairs(dout), jnp.int32
     )
     recv = jax.lax.all_to_all(
         packed, axis_name, split_axis=1, concat_axis=1, tiled=True
     )
-    return _unpack_bf16_pairs(
-        jax.lax.bitcast_convert_type(recv, jnp.float32), f
+    return (
+        _unpack_bf16_pairs(
+            jax.lax.bitcast_convert_type(recv, jnp.float32), dout.shape[0]
+        ),
     )
-
-
-def _a2a_features_bf16_fwd(feat_blocks, axis_name: str):
-    return _a2a_features_bf16(feat_blocks, axis_name), feat_blocks.shape[0]
-
-
-def _a2a_features_bf16_bwd(axis_name: str, f, dout):
-    # The tiled all_to_all over one axis is its own transpose (block i of
-    # source s becomes block s of destination i, an involution).
-    return (_a2a_features_bf16(dout, axis_name),)
 
 
 _a2a_features_bf16.defvjp(_a2a_features_bf16_fwd, _a2a_features_bf16_bwd)
@@ -287,7 +297,7 @@ def _shard_render(scene, camera, cfg: RenderConfig, src_cfg: RenderConfig,
     # The fragment exchange: block i on source s becomes block s on
     # destination i. Feature payload (F, D*cap) splits on the slot axis.
     if cfg.fragment_format == "bf16":
-        recv_feats = _a2a_features_bf16(feat_blocks, axis_name)
+        recv_feats = _a2a_features_bf16(feat_blocks, axis_name, cfg)
     else:
         recv_feats = jax.lax.all_to_all(
             feat_blocks, axis_name, split_axis=1, concat_axis=1, tiled=True

@@ -39,7 +39,7 @@ def main():
     s = args.size
     cfg = RenderConfig(
         width=s, height=s, tile_size=16, max_intersections=1 << 17,
-        max_tiles_per_gaussian=64, block_size=16, max_per_tile=1024,
+        max_tiles_per_gaussian=96, block_size=16, max_per_tile=1024,
         binning="packed",
         impl="pallas" if jax.default_backend() == "tpu" else "jnp",
         stream_format=args.stream_format,
@@ -80,7 +80,7 @@ def main():
         densify_every=100, densify_grad_threshold=5e-5,
         # 3DGS 5.2 big-splat prune: without it, repeated splits can grow a
         # few splats past K_max's tile rect and trip the overflow policy.
-        densify_max_scale=0.1 * radius,
+        densify_max_scale=0.05 * radius,
         metrics_csv=os.path.join(args.out_dir, "metrics.csv"),
     )
     fitted = render(trained, cams[0], cfg).image

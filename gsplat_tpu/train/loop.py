@@ -185,12 +185,24 @@ def fit(
         if overflow_policy == "ignore" or not bool(ovf_any):
             return
         demand = int(int_max)
+        if demand > cfg.max_intersections:
+            cause = (
+                f"measured demand {demand} > capacity "
+                f"{cfg.max_intersections}; re-run with max_intersections "
+                f">= {int(demand * 1.15)}"
+            )
+        else:
+            cause = (
+                f"stream demand {demand} fits capacity "
+                f"{cfg.max_intersections}, so a tier pool saturated or a "
+                f"splat's tile rect exceeded max_tiles_per_gaussian="
+                f"{cfg.max_tiles_per_gaussian}; raise the tier budgets / "
+                f"K_max, or prune big splats (fit(densify_max_scale=...), "
+                f"the 3DGS 5.2 rule)"
+            )
         msg = (
-            f"capacity overflow during step <= {at_step}: "
-            f"measured demand {demand} > capacity "
-            f"{cfg.max_intersections} (or a tier pool saturated). "
-            f"Gradients were truncated. Re-run with max_intersections >= "
-            f"{int(demand * 1.15)} (or a larger tier_spec)."
+            f"capacity overflow during step <= {at_step}: {cause}. "
+            f"Gradients were truncated."
         )
         if overflow_policy == "raise":
             raise RuntimeError(msg)

@@ -116,6 +116,9 @@ def main():
             max_per_tile=512,
         )
 
+    if args.viewer and not on_tpu:
+        print("WARNING: --viewer is a TPU workload preset; ignored on "
+              f"{jax.default_backend()}", file=sys.stderr)
     if args.viewer and on_tpu:
         kwargs.update(
             width=800, height=800, mode="fwd", iters=30,

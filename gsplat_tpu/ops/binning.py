@@ -313,6 +313,13 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig,
     n = proj.mask.shape[0]
     kmax = cfg.max_tiles_per_gaussian
     depth_bits = depth_bits_for(n_local)
+    if depth_bits < 12:
+        # Same guard as pack_tile_depth_key (the 'packed' path): huge tile
+        # grids would silently get very coarse depth ordering.
+        raise ValueError(
+            f"{n_local} tiles leave only {depth_bits} depth bits in a u32 "
+            "key"
+        )
 
     # Upfront (N, K_max) rect enumeration + exact ellipse culling, then a
     # per-row compaction (one lane-wise sort) so tiers enumerate only the
@@ -760,7 +767,16 @@ def gather_features(
 def _pack_bf16_pairs(x: jnp.ndarray) -> jnp.ndarray:
     """(F, M) f32 -> (ceil(F/2), M) f32, each lane carrying two bf16-rounded
     rows. Used to halve the per-ELEMENT cost of gathers/sorts over gradient
-    streams (PROFILE.md: element movement, not bandwidth, is the cost)."""
+    streams (PROFILE.md: element movement, not bandwidth, is the cost).
+
+    LAYOUT CONTRACT (change all sites together): pair i packs row 2i in the
+    LOW 16 bits and row 2i+1 in the HIGH bits, RNE-rounded. Implemented
+    bit-compatibly in four places: here/_unpack_bf16_pairs (XLA),
+    ops/pallas/segsum.py _kernel_packed (in-VMEM), ops/stream16.py
+    pack_stream/unpack_block (rows 2+), and ops/pallas/raster.py
+    _pack_grad_block/_unpack_grad_block (in-VMEM). Packed arrays must be
+    TYPED int32 in any context XLA might route through compute ops --
+    zero-high pairs are f32 denormals and TPU flushes them."""
     f, m = x.shape
     if f % 2:
         x = jnp.concatenate([x, jnp.zeros((1, m), x.dtype)])

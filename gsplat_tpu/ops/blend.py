@@ -277,8 +277,13 @@ def blend_block_bwd(
     # d power/d gx = ca dx + cb dy (d dx/d gx = -1 twice cancels the sign).
     d_gx = ca * sdx + cb * sdy
     d_gy = cc * sdy + cb * sdx
-    # dop_pg = da * e * not_clamped = dpower / opacity (sigmoid > 0).
-    d_op = m[0] / op
+    # dop_pg = da * e * not_clamped = dpower / opacity. Opacity is a
+    # sigmoid so it is positive for REAL lanes, but zero-feature lanes
+    # (stream padding gathered from the zero column, or fully-underflowed
+    # opacities) make this 0/0 -> NaN, which the downstream segment-sum
+    # multiplies into neighboring runs (NaN * 0 = NaN). Select, don't mask:
+    # jnp.where is a lane select, so the NaN in the untaken branch is inert.
+    d_op = jnp.where(op > 0.0, m[0] / jnp.maximum(op, 1e-30), 0.0)
     # dL/dcolor[c,g] = sum_p g_color[c,p] * w[p,g]
     d_colors = jnp.einsum(
         "cp,pg->cg", g_color, w, preferred_element_type=jnp.float32,

@@ -149,6 +149,11 @@ def segmented_suffix_sum(
     are computed in f32 and re-rounded/re-packed, so input and output move
     half the elements.
     """
+    # Compiled Pallas TPU kernels cannot run on the CPU backend; fall back
+    # to interpret mode automatically so every entry point that enables
+    # segment_sum='pallas' (bench --gather-backward bf16, fit_demo --fast,
+    # cli --segment-sum pallas) stays runnable on CPU-only machines.
+    interpret = interpret or jax.default_backend() == "cpu"
     f, m = x.shape
     b = block_size
     nb = -(-m // b)

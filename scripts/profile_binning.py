@@ -90,9 +90,9 @@ def main():
     # 3. tier assembly (includes 1+2)
     tiered = jax.jit(lambda p: B._tiered_candidates(p, cfg, cfg.num_tiles))
     ms, out = timeit(tiered, proj, iters=args.iters)
-    tile, depth, gid, kidx, validc, povf, counts = out
-    lanes = tile.shape[0]
-    nvalid = int(jnp.sum(validc))
+    key, gidk, total, povf, counts = out
+    lanes = key.shape[0]
+    nvalid = int(total)
     print(
         f"tiered candidates:    {ms:8.2f} ms   "
         f"(lanes={lanes}, valid={nvalid}, {100*nvalid/lanes:.0f}% occupied)",

@@ -85,3 +85,27 @@ def test_tiled_and_oracle_grads_agree():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
         )
+
+
+def test_no_nan_grads_with_aligned_padding_slots():
+    """Regression: d_op = moments/opacity NaN'd on zero-feature lanes
+    (stream_align padding gathers the zero column -> opacity exactly 0),
+    and the segment-sum spread the NaN into real runs (NaN * 0 = NaN)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene
+    from gsplat_tpu.render.pipeline import render_loss
+
+    cfg = RenderConfig(width=64, height=64, tile_size=8,
+                       max_intersections=1 << 13, max_tiles_per_gaussian=64,
+                       block_size=8, max_per_tile=256, binning="tiered",
+                       tier_spec=(8, 5, 64), stream_align=16, impl="pallas",
+                       pallas_interpret=True, pallas_block_size=32)
+    scene = random_scene(jax.random.key(0), 150, sh_degree=1)
+    cam = Camera.default(64, 64)
+    target = jax.random.uniform(jax.random.key(1), (64, 64, 3))
+    g = jax.jit(jax.grad(lambda s: render_loss(s, cam, target, cfg)))(scene)
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))

@@ -32,6 +32,8 @@ def main():
                     choices=["doubling", "pallas"])
     ap.add_argument("--stream-format", default=None,
                     choices=["f32", "packed16"])
+    ap.add_argument("--matmul-precision", default=None,
+                    choices=["default", "high", "highest"])
     ap.add_argument("--kmax", type=int, default=None,
                     help="max tiles per Gaussian (raise to 128 for "
                     "fat-splat scenes whose rects overflow 64)")
@@ -136,6 +138,8 @@ def main():
         kwargs["segment_sum"] = args.segment_sum
     if args.stream_format:
         kwargs["stream_format"] = args.stream_format
+    if args.matmul_precision:
+        kwargs["matmul_precision"] = args.matmul_precision
     if args.kmax:
         kwargs["max_tiles_per_gaussian"] = args.kmax
     if args.tier_spec:

@@ -261,6 +261,34 @@ def main(argv=None) -> int:
                    help="static Gaussian capacity for densification "
                         "(default 2x the initial count)")
     p.add_argument("--densify-grad-threshold", type=float, default=2e-4)
+    p.add_argument("--densify-until", type=int, default=None,
+                   help="stop densifying after this step (default steps/2)")
+    p.add_argument("--densify-max-scale", type=float, default=None,
+                   help="prune splats whose world scale exceeds this "
+                        "(3DGS 5.2 big-splat prune)")
+    p.add_argument("--opacity-reset-every", type=int, default=0,
+                   help="periodic opacity reset interval (3DGS 5.2)")
+    p.add_argument("--overflow-policy", default="raise",
+                   choices=["raise", "warn", "ignore"])
+    p.add_argument("--ssim-weight", type=float, default=0.2,
+                   help="loss = (1-w)*L1 + w*DSSIM (0 disables SSIM)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="views per training step")
+    p.add_argument("--sh-warmup-every", type=int, default=0,
+                   help="activate one more SH band every N steps "
+                        "(graphdeco oneupSHdegree; 0 = all bands from "
+                        "step 0)")
+    p.add_argument("--position-lr-final-ratio", type=float, default=None,
+                   help="exponential position-lr decay to lr*ratio over "
+                        "the run (graphdeco: 0.01)")
+    p.add_argument("--holdout-views", type=int, default=0,
+                   help="extra orbit views excluded from training, used "
+                        "for held-out PSNR")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="held-out PSNR eval interval (needs "
+                        "--holdout-views)")
+    p.add_argument("--metrics-csv", default=None,
+                   help="append per-step metrics rows to this CSV")
     _common_flags(p)
     p.set_defaults(fn=cmd_train)
 

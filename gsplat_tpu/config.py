@@ -129,6 +129,14 @@ class RenderConfig:
     # collective's bytes from 36+4 to 20+4 per fragment slot (~45% less ICI
     # traffic) at bf16 feature/gradient precision (straight-through).
     fragment_format: str = "f32"
+    # MXU precision of the in-kernel blend matmuls (the triangular-cumsum
+    # transmittance scan and the color/moments contractions). f32 inputs on
+    # the TPU MXU decompose into bf16 passes: 'highest' = 6 passes (full
+    # f32), 'high' = 3 passes (~f32 for these magnitudes), 'default' = 1
+    # bf16 pass (measured ~1e-2 absolute image error -- do not use). The
+    # cumsum matmul is the single largest FLOP consumer of both kernels
+    # (P*G*G MACs per block), so 'high' buys back half its MXU time.
+    matmul_precision: str = "highest"
     # Forward feature-stream format. 'f32': NUM_FEATURES f32 rows (exact).
     # 'packed16': 5 int32 rows -- means as u16 fixed-point pairs (~1/30 px
     # at 1080p, scale-adaptive), conic/color/opacity as bf16 pairs -- so the
@@ -188,6 +196,10 @@ class RenderConfig:
                 "gather_backward='bf16' keeps the gradient stream pair-"
                 "packed end-to-end; it requires segment_sum='pallas' and "
                 "grad_readout='bf16'"
+            )
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"unknown matmul_precision {self.matmul_precision!r}"
             )
         if self.stream_format not in ("f32", "packed16"):
             raise ValueError(f"unknown stream_format {self.stream_format!r}")

@@ -79,16 +79,26 @@ def cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(x, axis=-1)
 
 
-def triangular_cumsum(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def triangular_cumsum(
+    x: jnp.ndarray, tri: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
     """cumsum via (P,G) @ (G,G) upper-triangular ones matrix -- MXU-native.
 
-    HIGHEST precision is required: the MXU's default single-pass bf16 rounds
-    the log-transmittance prefix sums to ~3 decimal digits, which shows up as
-    ~1e-2 absolute image error vs the jnp rasterizer. The kernels are
-    DMA-bound, so the extra MXU passes are free."""
+    Precision >= HIGH is required: the MXU's default single-pass bf16 rounds
+    the log-transmittance prefix sums to ~3 decimal digits, which shows up
+    as ~1e-2 absolute image error vs the jnp rasterizer. HIGH (3 bf16
+    passes, ~f32 for these magnitudes) halves the MXU time of HIGHEST (6
+    passes) -- this matmul is the largest FLOP consumer of both kernels."""
     return jnp.dot(
-        x, tri, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        x, tri, preferred_element_type=jnp.float32, precision=precision,
     )
 
 
@@ -160,10 +170,15 @@ def _block_weights(
     )
     a = jnp.where(ok, alpha, 0.0)
 
-    p_incl = carry.trans * jnp.exp(cumsum_fn(jnp.log1p(-a)))  # (P, G)
+    # One exp and no divide: t_before = trans * exp(EXCLUSIVE cumsum), the
+    # exclusive sum recovered by subtracting each lane's own log term (the
+    # divide-by-(1-a) form costs a VPU divide per lane; the subtract+multiply
+    # form is exact for a=0 lanes and differs only in rounding elsewhere).
+    l1 = jnp.log1p(-a)
+    c_incl = cumsum_fn(l1)
+    t_before = carry.trans * jnp.exp(c_incl - l1)
+    p_incl = t_before * (1.0 - a)  # (P, G) transmittance AFTER this Gaussian
     valid = p_incl >= cfg.transmittance_min
-    # T before this Gaussian; safe because 1 - a >= 1 - alpha_clamp.
-    t_before = p_incl / (1.0 - a)
     w = jnp.where(valid, a * t_before, 0.0)
 
     trigger = (a > 0.0) & ~valid
@@ -198,7 +213,7 @@ def blend_block(
     # (3, G) x (P, G) contracted over G -> (3, P): MXU.
     new_color = carry.color + jnp.einsum(
         "cg,pg->cp", colors, w, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=PRECISIONS[cfg.matmul_precision],
     )
     return BlendCarry(color=new_color, trans=new_trans, done=new_done)
 
@@ -233,7 +248,7 @@ def blend_block_bwd(
     # dL/dw[p,g] = sum_c colors[c,g] * g_color[c,p]
     dw = jnp.einsum(
         "cg,cp->pg", colors, g_color, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=PRECISIONS[cfg.matmul_precision],
     )
     b = dw * w                                    # (P, G)
     cum_b = accum_b + cumsum_fn(b)                # inclusive prefix incl. past blocks
@@ -264,7 +279,7 @@ def blend_block_bwd(
     m = jnp.einsum(
         "pk,pg->kg", aux["basis"], dpower,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=PRECISIONS[cfg.matmul_precision],
     )  # (6, G): [sum, x, y, x^2, y^2, xy] moments of dpower
     gxr, gyr = aux["gxr"][0], aux["gyr"][0]  # (G,)
     ca, cb, cc, op = aux["ca"][0], aux["cb"][0], aux["cc"][0], aux["op"][0]
@@ -287,7 +302,7 @@ def blend_block_bwd(
     # dL/dcolor[c,g] = sum_p g_color[c,p] * w[p,g]
     d_colors = jnp.einsum(
         "cp,pg->cg", g_color, w, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=PRECISIONS[cfg.matmul_precision],
     )
 
     dfeat = jnp.concatenate(

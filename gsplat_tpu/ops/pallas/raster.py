@@ -152,7 +152,10 @@ def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: Re
 
     px, py = _pixel_coords(cfg, t + offset_ref[0])
     tri = make_triangular(g)
-    cumsum = functools.partial(triangular_cumsum, tri=tri)
+    cumsum = functools.partial(
+        triangular_cumsum, tri=tri,
+        precision=blend_ops.PRECISIONS[cfg.matmul_precision],
+    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
     out_ref[0, :, :] = jnp.zeros((OUT_ROWS, p), jnp.float32)
@@ -227,7 +230,10 @@ def _bwd_kernel(
 
     px, py = _pixel_coords(cfg, t + offset_ref[0])
     tri = make_triangular(g)
-    cumsum = functools.partial(triangular_cumsum, tri=tri)
+    cumsum = functools.partial(
+        triangular_cumsum, tri=tri,
+        precision=blend_ops.PRECISIONS[cfg.matmul_precision],
+    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
     g_color = g_tile_ref[0, 0:3, :]          # (3, P)

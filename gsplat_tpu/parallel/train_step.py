@@ -31,12 +31,35 @@ from gsplat_tpu.parallel.sharding import (
 from gsplat_tpu.train.losses import rgb_loss
 
 
-def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float = 1e-2,
+    *,
+    position_lr_final_ratio: float | None = None,
+    lr_max_steps: int | None = None,
+) -> optax.GradientTransformation:
     """Per-parameter learning-rate scaling in the style of graphdeco 3DGS
-    (positions slower than color/opacity)."""
+    (positions slower than color/opacity).
+
+    position_lr_final_ratio + lr_max_steps enable the standard-protocol
+    exponential position-lr decay: lr_means(t) = lr_init * ratio^(t /
+    lr_max_steps) (graphdeco's get_expon_lr_func log-lerp; the reference
+    itself has no training, SURVEY.md section 2). Other groups stay
+    constant, as in the original recipe."""
+    means_lr = lr * 0.016
+    if position_lr_final_ratio is not None:
+        if not lr_max_steps:
+            raise ValueError(
+                "position_lr_final_ratio requires lr_max_steps"
+            )
+        means_lr = optax.exponential_decay(
+            init_value=means_lr,
+            transition_steps=lr_max_steps,
+            decay_rate=position_lr_final_ratio,
+            end_value=means_lr * position_lr_final_ratio,
+        )
     return optax.multi_transform(
         {
-            "means": optax.adam(lr * 0.016),
+            "means": optax.adam(means_lr),
             "log_scales": optax.adam(lr * 0.5),
             "quats": optax.adam(lr * 0.1),
             "opacity_logits": optax.adam(lr * 5.0),

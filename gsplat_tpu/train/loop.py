@@ -31,11 +31,28 @@ from gsplat_tpu.train.losses import psnr, rgb_loss
 from gsplat_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
+def sh_band_mask(num_coeffs: int, active_degree) -> jnp.ndarray:
+    """(K, 1) float mask keeping SH bands <= active_degree (traced ok).
+    Band of coefficient j is floor(sqrt(j)) -- computed host-side with
+    integer sqrt so there is no float-precision edge at j = 1, 4, 9."""
+    import math
+
+    band = jnp.asarray(
+        [math.isqrt(j) for j in range(num_coeffs)], jnp.int32
+    )
+    return (band <= active_degree).astype(jnp.float32)[:, None]
+
+
 def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
     """Single-device train step over a batch of (cameras, targets).
 
-    Returns step(state, cameras, targets) ->
+    Returns step(state, cameras, targets, active_sh_degree=None) ->
     (state, loss, aux, (screen_grads, visible)):
+      active_sh_degree: traced int32 (or None = all bands). SH bands above
+           it are zero-masked inside the loss, realizing graphdeco's
+           progressive SH activation (oneupSHdegree) without changing cfg
+           (which is static under jit): inactive bands contribute nothing
+           and receive zero gradient.
       aux: batch-aggregated capacity diagnostics ({"overflow",
            "num_intersections"}) -- a saturated stream silently truncates
            gradients, so `fit` refuses to train through it (overflow_policy).
@@ -45,7 +62,12 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
            (the CUDA original's radii > 0 visibility denominator)."""
     from gsplat_tpu.ops.projection import project_gaussians
 
-    def loss_fn(scene, tap, cameras, targets):
+    def loss_fn(scene, tap, cameras, targets, active_sh):
+        if active_sh is not None:
+            scene = scene.replace(
+                sh=scene.sh * sh_band_mask(scene.sh.shape[1], active_sh)
+            )
+
         def one(camera, target):
             out = render(scene, camera, cfg, uv_tap=tap)
             # Same projection call as inside render (CSE'd by XLA); counts>0
@@ -65,12 +87,13 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
             "visible": jnp.any(vis, axis=0),
         }
 
-    @jax.jit
-    def step(state: TrainState, cameras, targets):
+    @functools.partial(jax.jit, static_argnames=("mask_sh",))
+    def _step(state: TrainState, cameras, targets, active_sh, mask_sh):
         tap = jnp.zeros((state.scene.num_gaussians, 2), jnp.float32)
         (loss, aux), (grads, tap_grads) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(state.scene, tap, cameras, targets)
+        )(state.scene, tap, cameras, targets,
+          active_sh if mask_sh else None)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
         visible = aux.pop("visible")
@@ -81,7 +104,44 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
             (tap_grads, visible),
         )
 
+    def step(state, cameras, targets, active_sh_degree=None):
+        # active_sh rides as a TRACED scalar (one compilation for the whole
+        # warmup, not one per degree); mask_sh only distinguishes the
+        # no-masking fast path.
+        mask_sh = active_sh_degree is not None
+        active = jnp.asarray(
+            0 if active_sh_degree is None else active_sh_degree, jnp.int32
+        )
+        return _step(state, cameras, targets, active, mask_sh)
+
     return step
+
+
+def _append_csv_row(path: str, row: dict):
+    """Append a metrics row; if the row introduces columns the existing
+    header lacks (e.g. the first eval row's PSNR columns), rewrite the file
+    with the extended header, padding earlier rows."""
+    import csv
+
+    header = list(row.keys())
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            reader = csv.DictReader(f)
+            old_header = reader.fieldnames or []
+            if set(header) <= set(old_header):
+                with open(path, "a") as fa:
+                    fa.write(
+                        ",".join(str(row.get(k, "")) for k in old_header)
+                        + "\n"
+                    )
+                return
+            rows = list(reader)
+            header = old_header + [k for k in header if k not in old_header]
+    with open(path, "w") as f:
+        f.write(",".join(header) + "\n")
+        for r in rows + [row]:
+            f.write(",".join(str(r.get(k, "")) for k in header) + "\n")
 
 
 def _zero_opacity_moments(opt_state, capacity: int):
@@ -129,8 +189,24 @@ def fit(
     metrics_csv: str | None = None,
     overflow_policy: str = "raise",
     opacity_reset_every: int = 0,
+    sh_warmup_every: int = 0,
+    position_lr_final_ratio: float | None = None,
+    lr_max_steps: int | None = None,
+    eval_every: int = 0,
+    eval_fn=None,
 ):
     """Returns (trained scene, metrics list).
+
+    sh_warmup_every > 0 activates SH bands progressively: active degree =
+    min(sh_degree, step // sh_warmup_every) (graphdeco's oneupSHdegree,
+    every 1000 steps in the original recipe).
+
+    position_lr_final_ratio enables exponential position-lr decay over
+    lr_max_steps (default: `steps`) -- see make_optimizer.
+
+    eval_every > 0 calls eval_fn(scene, step) every that many steps (host
+    callback outside jit; used for held-out-view PSNR); its dict return is
+    merged into that step's metrics row.
 
     densify_every > 0 enables adaptive density control (train/densify.py):
     the scene must carry free capacity (GaussianScene.pad_to). The trigger
@@ -161,7 +237,12 @@ def fit(
         mask_opt_moments, reset_opacity,
     )
 
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer(
+        lr,
+        position_lr_final_ratio=position_lr_final_ratio,
+        lr_max_steps=(lr_max_steps or steps)
+        if position_lr_final_ratio is not None else None,
+    )
     state = init_train_state(scene, optimizer)
     dstate = init_densify_state(scene.num_gaussians)
     densify_fn = jax.jit(functools.partial(
@@ -210,12 +291,29 @@ def fit(
         ovf_any = jnp.zeros((), bool)
         int_max = jnp.zeros((), jnp.int32)
 
+    # Epoch-shuffled view sampling (graphdeco pops from a reshuffled camera
+    # stack each epoch; uniform-with-replacement can starve views).
+    view_queue: list[int] = []
+
+    def next_views(k: int):
+        nonlocal view_queue
+        out = []
+        while len(out) < k:
+            if not view_queue:
+                view_queue = list(rng.permutation(num_views))
+            out.append(view_queue.pop())
+        return np.asarray(out)
+
     for it in range(start_step, steps):
-        sel = rng.integers(0, num_views, size=batch)
+        sel = next_views(batch)
         cams_b = jax.tree.map(lambda x: x[sel], cameras)
         targets_b = targets[sel]
+        active_sh = (
+            min(scene.sh_degree, it // sh_warmup_every)
+            if sh_warmup_every else None
+        )
         state, loss, aux, (screen_grads, visible) = step_fn(
-            state, cams_b, targets_b
+            state, cams_b, targets_b, active_sh
         )
         ovf_any = ovf_any | aux["overflow"]
         int_max = jnp.maximum(int_max, aux["num_intersections"])
@@ -251,16 +349,17 @@ def fit(
             t_last = time.time()
             its = log_every / dt if it + 1 != start_step + 1 else 1.0 / dt
             row = {"step": it + 1, "loss": round(loss, 6), "it_per_s": round(its, 3)}
+            if eval_every and eval_fn is not None and (
+                (it + 1) % eval_every == 0 or it + 1 == steps
+            ):
+                row.update(eval_fn(state.scene, it + 1) or {})
+                t_last = time.time()  # don't bill eval time to it/s
             metrics.append(row)
             print(row if on_metrics is None else on_metrics(row))
             if metrics_csv:
                 # Structured per-step metrics (SURVEY.md section 5: the
-                # reference only console.logs); header written lazily.
-                new = not os.path.exists(metrics_csv)
-                with open(metrics_csv, "a") as f:
-                    if new:
-                        f.write(",".join(row.keys()) + "\n")
-                    f.write(",".join(str(v) for v in row.values()) + "\n")
+                # reference only console.logs).
+                _append_csv_row(metrics_csv, row)
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             path = os.path.join(checkpoint_dir, f"ckpt_{it + 1:06d}.npz")
             save_checkpoint(path, state)
@@ -287,14 +386,24 @@ def train_from_cli(args) -> int:
     radius = float(
         np.percentile(np.linalg.norm(means - center, axis=-1), 90) * 2.5
     )
-    cams = orbit_cameras(
-        center, radius, args.views, cfg.width, cfg.height,
+    holdout = getattr(args, "holdout_views", 0)
+    total_views = args.views + holdout
+    all_cams = orbit_cameras(
+        center, radius, total_views, cfg.width, cfg.height,
         fx=float(cfg.width), fy=float(cfg.height),
     )
-    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
-    print(f"rendering {args.views} target views...")
+    print(f"rendering {total_views} target views "
+          f"({args.views} train + {holdout} held-out)...")
     render_j = jax.jit(lambda c: render(target_scene, c, cfg).image)
-    targets = jnp.stack([render_j(c) for c in cams])
+    all_targets = jnp.stack([render_j(c) for c in all_cams])
+    # Interleave the holdout so it samples the whole orbit, like taking
+    # every Nth image of a capture (the graphdeco -eval convention).
+    idx = np.arange(total_views)
+    hold_idx = idx[:: total_views // holdout][:holdout] if holdout else idx[:0]
+    train_idx = np.setdiff1d(idx, hold_idx)
+    cams = [all_cams[i] for i in train_idx]
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    targets = all_targets[train_idx]
 
     init = random_scene(jax.random.fold_in(key, 1), target_scene.num_gaussians,
                         sh_degree=target_scene.sh_degree)
@@ -305,19 +414,51 @@ def train_from_cli(args) -> int:
     if args.densify_every:
         capacity = args.capacity or 2 * init.num_gaussians
         init = init.pad_to(capacity)
-    trained, _ = fit(
+
+    eval_fn = None
+    if holdout:
+        eval_render = jax.jit(
+            lambda s, c: render(s, c, cfg).image
+        )
+
+        def eval_fn(scene_now, step):
+            vals = [
+                float(psnr_fn(eval_render(scene_now, all_cams[i]),
+                              all_targets[i]))
+                for i in hold_idx
+            ]
+            tr = float(psnr_fn(eval_render(scene_now, cams[0]), targets[0]))
+            return {
+                "holdout_psnr": round(float(np.mean(vals)), 3),
+                "train_psnr": round(tr, 3),
+            }
+
+    trained, metrics = fit(
         init, cameras, targets, cfg,
         steps=args.steps, lr=args.lr, seed=args.seed,
+        batch=args.batch,
+        ssim_weight=args.ssim_weight,
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         densify_every=args.densify_every,
         densify_grad_threshold=args.densify_grad_threshold,
+        densify_until=args.densify_until,
+        densify_max_scale=args.densify_max_scale,
+        opacity_reset_every=args.opacity_reset_every,
+        overflow_policy=args.overflow_policy,
+        sh_warmup_every=args.sh_warmup_every,
+        position_lr_final_ratio=args.position_lr_final_ratio,
+        metrics_csv=args.metrics_csv,
+        eval_every=args.eval_every,
+        eval_fn=eval_fn,
     )
     final_psnr = float(
         psnr_fn(render(trained, cams[0], cfg).image, targets[0])
     )
     print(f"final view-0 PSNR: {final_psnr:.2f} dB")
+    if eval_fn is not None:
+        print(f"final held-out metrics: {eval_fn(trained, args.steps)}")
     save_ply(trained, args.out)
     print(f"saved {args.out}")
     return 0

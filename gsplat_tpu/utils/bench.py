@@ -44,6 +44,7 @@ def run_bench(
     grad_readout: str | None = None,
     segment_sum: str | None = None,
     stream_format: str | None = None,
+    matmul_precision: str | None = None,
 ) -> dict:
     """sharded_tiles=N benches the tile-sharded distributed path on an
     N-device 'tiles' mesh (x data_shards-way data parallelism): the full
@@ -65,6 +66,8 @@ def run_bench(
         extra["segment_sum"] = segment_sum
     if stream_format is not None:
         extra["stream_format"] = stream_format
+    if matmul_precision is not None:
+        extra["matmul_precision"] = matmul_precision
     cfg = RenderConfig(
         width=width,
         height=height,

@@ -148,13 +148,12 @@ def main():
             for x in args.tier_spec.split(",")
         )
     if args.sharded_tiles:
+        # The sharded path runs the same packed16 fast path as single-chip
+        # (local band configs carry the global quant ranges).
         kwargs.update(
             sharded_tiles=args.sharded_tiles,
             data_shards=args.data_shards,
             ssim_weight=args.ssim_weight,
-            # The tile-sharded path renders global pixel coordinates
-            # against a local cfg; packed16 quant ranges would disagree.
-            stream_format="f32",
         )
         # Per-shard capacity: each shard sorts/blends only its tile rows.
         kwargs["max_intersections"] = max(

@@ -146,6 +146,12 @@ class RenderConfig:
     # Unsupported in the Gaussian-sharded path (fragment exchange reads raw
     # feature rows).
     stream_format: str = "f32"
+    # Explicit packed16 quantization ranges (lox, sx, loy, sy) overriding the
+    # ones derived from width/height. Set by parallel/sharding.local_tile_cfg
+    # so a tile shard's LOCAL config (whose height is one band) unpacks the
+    # stream with the GLOBAL image extent the features were quantized
+    # against -- means are global pixel coordinates on every path.
+    quant_ranges: tuple | None = None
 
     # ---- derived (static) ----
     @property
@@ -211,6 +217,13 @@ class RenderConfig:
             raise ValueError(
                 "stream_format='packed16' needs the gidk stream for its "
                 "fused backward; binning='scatter' does not produce one"
+            )
+        if self.quant_ranges is not None and (
+            not isinstance(self.quant_ranges, tuple)
+            or len(self.quant_ranges) != 4
+        ):
+            raise ValueError(
+                "quant_ranges must be a (lox, sx, loy, sy) tuple"
             )
         if self.stream_format == "packed16" and max(
             self.width, self.height

@@ -25,9 +25,11 @@ Because an int32 array cannot carry JAX cotangents, pack -> gather ->
 rasterize is ONE fused custom_vjp here (`rasterize_packed16`) rather than
 the separate differentiable gather + raster VJPs of the f32 path.
 
-Single-device only: the tile-sharded path renders global pixel coordinates
-against a local cfg (quant ranges would disagree) and the Gaussian-sharded
-fragment exchange reads raw feature rows; both assert stream_format='f32'.
+Supported single-device AND tile-sharded (the local band config carries the
+global quantization ranges via cfg.quant_ranges, so pack and in-kernel
+unpack agree across shards). The Gaussian-sharded path has its own wire
+compression (cfg.fragment_format='bf16') and rejects packed16: its fragment
+exchange reads raw feature rows.
 
 Reference parity note: the reference streams full-f32 Gaussian records to
 its WGSL blend (reference: src/compute_tiles.wgsl, 64-B GaussianData); this
@@ -52,7 +54,14 @@ from gsplat_tpu.ops.binning import (
 def quant_params(cfg: RenderConfig) -> tuple[float, float, float, float]:
     """(lox, sx, loy, sy): q = round((v - lo) * s) in [0, 65535]; v = q/s+lo.
     The range covers uv in [(1-l)/2, (1+l)/2] * extent (the frustum cull
-    admits |ndc| < l = cfg.frustum_ndc_limit), so every valid mean fits."""
+    admits |ndc| < l = cfg.frustum_ndc_limit), so every valid mean fits.
+
+    cfg.quant_ranges overrides the derivation: on the tile-sharded path the
+    raster kernel runs under a LOCAL config (one band of tile rows) but the
+    means are GLOBAL pixel coordinates, so local_tile_cfg stamps the global
+    ranges into the local config and pack/unpack agree across shards."""
+    if cfg.quant_ranges is not None:
+        return cfg.quant_ranges
     l = float(cfg.frustum_ndc_limit)
     lox = (1.0 - l) / 2.0 * cfg.width
     loy = (1.0 - l) / 2.0 * cfg.height

@@ -343,8 +343,9 @@ def render_gaussian_sharded(
     """
     if cfg.stream_format != "f32":
         raise NotImplementedError(
-            "Gaussian-sharded fragment exchange reads raw f32 feature "
-            "rows; stream_format='packed16' is single-device only"
+            "Gaussian-sharded fragment exchange reads raw f32 feature rows "
+            "(wire compression is cfg.fragment_format='bf16'); packed16 is "
+            "for the single-device and tile-sharded paths"
         )
     d = mesh.shape[axis_name]
     lcfg = local_tile_cfg(cfg, d)

@@ -83,6 +83,12 @@ def make_gaussian_sharded_train_step(
     targets: (B, padded_H, padded_W, 3), rows sharded over `axis_name`.
     screen_grads/visible come back N-sharded, feeding the per-shard
     densification accumulator (train/densify.py semantics)."""
+    if cfg.stream_format != "f32":
+        raise NotImplementedError(
+            "Gaussian-sharded training reads raw f32 feature rows (wire "
+            "compression is cfg.fragment_format='bf16'); use "
+            "stream_format='f32'"
+        )
     d = mesh.shape[axis_name]
     lcfg = local_tile_cfg(cfg, d)
     capacity = example_scene.num_gaussians

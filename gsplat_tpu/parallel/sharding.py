@@ -51,16 +51,21 @@ def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
 
 def local_tile_cfg(cfg: RenderConfig, num_shards: int) -> RenderConfig:
     """Config describing one shard's tile rows. The padded tile grid is
-    divided along tile rows; requires tiles_y % num_shards == 0."""
+    divided along tile rows; requires tiles_y % num_shards == 0. The
+    packed16 quantization ranges are pinned to the GLOBAL image extent
+    (means stay global pixel coordinates on every shard)."""
     if cfg.tiles_y % num_shards != 0:
         raise ValueError(
             f"tiles_y={cfg.tiles_y} not divisible by {num_shards} shards"
         )
+    from gsplat_tpu.ops.stream16 import quant_params
+
     local_rows = cfg.tiles_y // num_shards
     return dataclasses.replace(
         cfg,
         height=local_rows * cfg.tile_size,
         width=cfg.padded_width,  # keep tiles_x identical to the global grid
+        quant_ranges=quant_params(cfg),
     )
 
 
@@ -83,17 +88,24 @@ def _render_local_tiles(scene, camera, cfg: RenderConfig, lcfg: RenderConfig,
                         shard_idx, axis_name: str):
     """Per-shard body: project all, bin/blend only this shard's tile rows.
     Returns (image_band, trans_band) of the PADDED image."""
-    if cfg.stream_format != "f32":
-        raise NotImplementedError(
-            "tile-sharded rendering renders global pixel coordinates "
-            "against a local cfg; stream_format='packed16' quant ranges "
-            "would disagree -- use stream_format='f32'"
-        )
     tile_start = shard_idx * lcfg.num_tiles
     proj = project_gaussians(scene, camera, cfg)
     binned = bin_gaussians(
         proj, cfg, tile_start=tile_start, num_local_tiles=lcfg.num_tiles
     )
+    if cfg.stream_format == "packed16":
+        # Same fused quantize -> gather -> rasterize custom_vjp as the
+        # single-device path; lcfg carries the global quant_ranges so the
+        # in-kernel unpack agrees with the pack.
+        from gsplat_tpu.ops.binning import features_f32
+        from gsplat_tpu.ops.stream16 import rasterize_packed16
+
+        image, trans = rasterize_packed16(
+            features_f32(proj, cfg), binned.sorted_gid, binned.sorted_gidk,
+            binned.gauss_offsets, binned.gauss_counts, binned.ranges,
+            tile_start, cfg, lcfg,
+        )
+        return image, trans, binned.overflow
     features = gather_features(proj, binned, cfg)
     if cfg.impl == "pallas":
         from gsplat_tpu.ops.pallas.raster import rasterize_pallas

@@ -199,3 +199,65 @@ def test_bench_sharded_runs_on_cpu_mesh():
     assert r["details"]["grad_psum_bytes_per_step"] > 0
     assert r["details"]["ssim_halo_bytes_per_step"] > 0
     assert r["details"]["per_shard_max_intersections"] == 1 << 12
+
+
+def test_tile_sharded_packed16_matches_single():
+    """The packed16 fast path under tile sharding: image AND gradients equal
+    the single-device packed16 path. The local band config must carry the
+    GLOBAL quantization ranges (means are global pixel coordinates); with
+    per-band ranges the y-unpack would be off by the band offset and this
+    test would fail loudly."""
+    cfg = dataclasses.replace(
+        CFG, binning="tiered", stream_format="packed16"
+    )
+    mesh = make_mesh({"tiles": 4})
+    scene = random_scene(jax.random.key(11), 220, sh_degree=2)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(12), (cfg.height, cfg.width, 3))
+
+    img, trans, ovf = jax.jit(
+        lambda s, c: render_tile_sharded(s, c, cfg, mesh)
+    )(scene, cam)
+    ref = render(scene, cam, cfg)
+    assert not bool(ovf)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(ref.image), rtol=1e-4, atol=1e-5
+    )
+
+    def sharded_loss(s):
+        im, _, _ = render_tile_sharded(s, cam, cfg, mesh)
+        return jnp.mean(jnp.abs(im - target))
+
+    def single_loss(s):
+        return jnp.mean(jnp.abs(render(s, cam, cfg).image - target))
+
+    g_sh = jax.jit(jax.grad(sharded_loss))(scene)
+    g_ref = jax.jit(jax.grad(single_loss))(scene)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6
+        )
+
+
+def test_sharded_train_step_packed16_runs():
+    """One full distributed train step on the packed16 stream (the config-4
+    production combination after VERDICT r2 Missing #2)."""
+    cfg = dataclasses.replace(
+        CFG, binning="tiered", stream_format="packed16"
+    )
+    mesh = make_mesh({"data": 2, "tiles": 4})
+    scene = random_scene(jax.random.key(13), 150, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = jax.random.uniform(jax.random.key(14), (cfg.height, cfg.width, 3))
+    cams = jax.tree.map(lambda x: jnp.stack([x] * 4), cam)
+    targets = jnp.stack([target] * 4)
+
+    optimizer = make_optimizer(lr=1e-2)
+    step = make_sharded_train_step(cfg, mesh, optimizer, ssim_weight=0.0)
+    state = init_train_state(scene, optimizer)
+    cams_s, targets_s = shard_batch(cams, targets, mesh)
+    state, m0 = step(state, cams_s, targets_s)
+    for _ in range(5):
+        state, m = step(state, cams_s, targets_s)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])

@@ -19,6 +19,11 @@ def main():
     ap.add_argument("--sharded-tiles", type=int, default=0,
                     help="bench the tile-sharded path on an N-shard mesh")
     ap.add_argument("--data-shards", type=int, default=1)
+    ap.add_argument("--gaussian-sharded", type=int, default=0,
+                    help="bench the Gaussian-sharded (config-5) path on an "
+                    "N-shard 'gauss' mesh: step time, fragment a2a bytes, "
+                    "per-dest occupancy")
+    ap.add_argument("--per-dest-capacity", type=int, default=None)
     ap.add_argument("--mode", default=None, choices=[None, "fwd", "fwd_bwd"])
     ap.add_argument("--ssim-weight", type=float, default=0.0)
     ap.add_argument("--scene", default="random", choices=["random", "realistic"])
@@ -146,6 +151,16 @@ def main():
         kwargs["tier_spec"] = tuple(
             tuple(int(y) for y in x.split(":")) if ":" in x else int(x)
             for x in args.tier_spec.split(",")
+        )
+    if args.gaussian_sharded:
+        kwargs.update(
+            gaussian_shards=args.gaussian_sharded,
+            per_dest_capacity=args.per_dest_capacity,
+            ssim_weight=args.ssim_weight,
+            # Fragment exchange reads raw f32 feature rows; wire compression
+            # is the bf16 fragment format, not the packed16 stream.
+            stream_format="f32",
+            fragment_format="bf16",
         )
     if args.sharded_tiles:
         # The sharded path runs the same packed16 fast path as single-chip

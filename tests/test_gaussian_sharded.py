@@ -210,3 +210,111 @@ def test_fragment_format_bf16_close_to_f32():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(float(np.abs(a).max()), 1e-6)
         assert float(np.abs(a - b).max()) <= 0.03 * scale
+
+
+def test_per_shard_checkpoint_roundtrip(tmp_path):
+    """save_sharded_checkpoint writes one npz per shard (no full-N gather);
+    load_sharded_checkpoint reassembles the identical sharded TrainState."""
+    import os
+
+    from gsplat_tpu.parallel.gaussian_train import (
+        load_sharded_checkpoint,
+        save_sharded_checkpoint,
+        shard_train_state,
+    )
+    from gsplat_tpu.parallel.train_step import TrainState, make_optimizer
+
+    mesh = make_mesh({"gauss": 8})
+    scene, _, _ = _train_fixture()
+    optimizer = make_optimizer(1e-2)
+    state = shard_train_state(
+        TrainState(scene, optimizer.init(scene), jnp.ones((), jnp.int32) * 7),
+        mesh,
+    )
+    d = str(tmp_path / "ck")
+    save_sharded_checkpoint(d, state, mesh)
+    files = sorted(os.listdir(d))
+    assert files == ["meta.npz"] + [f"shard_{k:05d}.npz" for k in range(8)]
+    # each shard file holds only its rows (capacity // 8 per leaf)
+    rows = scene.num_gaussians // 8
+    with np.load(os.path.join(d, "shard_00003.npz")) as z:
+        for name in z.files:
+            assert z[name].shape[0] == rows
+
+    like = TrainState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32))
+    restored = load_sharded_checkpoint(d, like, mesh)
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (
+        restored.scene.means.sharding.spec == state.scene.means.sharding.spec
+    )
+
+    # shard-count mismatch is rejected, not silently resharded
+    with pytest.raises(ValueError, match="shards"):
+        load_sharded_checkpoint(d, like, make_mesh({"gauss": 4}))
+
+
+def test_fit_gaussian_sharded_writes_per_shard_checkpoints(tmp_path):
+    import os
+
+    from gsplat_tpu.parallel.gaussian_train import fit_gaussian_sharded
+
+    mesh = make_mesh({"gauss": 4})
+    scene, cams, targets = _train_fixture(n=80, cap=128, key=9)
+    d = str(tmp_path / "ck")
+    fit_gaussian_sharded(
+        scene, cams, jnp.asarray(targets), CFG, mesh,
+        steps=4, lr=1e-2, log_every=2,
+        checkpoint_path=d, checkpoint_every=4,
+    )
+    assert sorted(os.listdir(d)) == (
+        ["meta.npz"] + [f"shard_{k:05d}.npz" for k in range(4)]
+    )
+
+
+def test_fragment_occupancy_report():
+    """The fragment-capacity analogue of tier_occupancy: the measured max
+    (src, dest) segment must bound the real exchange -- a capacity at the
+    suggested value renders without overflow, one below the max overflows."""
+    from gsplat_tpu.parallel.gaussian_sharded import fragment_occupancy
+
+    mesh = make_mesh({"gauss": 4})
+    scene = random_scene(jax.random.key(11), 240, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    occ = fragment_occupancy(scene, cam, CFG, 4)
+    assert occ["max_segment"] > 0
+    assert occ["total_intersections"] >= occ["max_segment"]
+    assert occ["suggested_per_dest_capacity"] >= occ["max_segment"]
+
+    _, _, ovf_ok = jax.jit(
+        lambda s, c: render_gaussian_sharded(
+            s, c, CFG, mesh,
+            per_dest_capacity=occ["suggested_per_dest_capacity"],
+        )
+    )(scene, cam)
+    assert not bool(ovf_ok)
+    if occ["max_segment"] > 1:
+        _, _, ovf_bad = jax.jit(
+            lambda s, c: render_gaussian_sharded(
+                s, c, CFG, mesh, per_dest_capacity=occ["max_segment"] - 1
+            )
+        )(scene, cam)
+        assert bool(ovf_bad)
+
+
+def test_bench_gaussian_sharded_runs_on_cpu_mesh():
+    """bench.py --gaussian-sharded N is one command on any future multi-chip
+    allocation; CI exercises it for correctness + capacity accounting."""
+    from gsplat_tpu.utils.bench import run_bench
+
+    r = run_bench(
+        num_gaussians=2000, width=64, height=64, impl="jnp", mode="fwd_bwd",
+        iters=1, tile_size=8, max_intersections=1 << 12, block_size=8,
+        max_per_tile=256, binning="packed", gaussian_shards=4,
+        fragment_format="bf16",
+    )
+    assert r["value"] > 0
+    assert not r["details"]["overflow"]
+    assert r["details"]["a2a_bytes_per_step"] > 0
+    assert r["details"]["fragment_occupancy"]["max_segment"] > 0

@@ -81,24 +81,65 @@ def cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
 
 PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGHEST,  # call sites route 'high' manually
     "highest": jax.lax.Precision.HIGHEST,
 }
 
 
+def _hi_lo_bf16(x: jnp.ndarray):
+    """Split f32 into (hi, lo) bf16 with x ~ hi + lo to ~2^-16 relative --
+    the operand decomposition behind XLA's own multi-pass f32 matmul
+    emulation, done by hand because Mosaic lowers only DEFAULT and HIGHEST
+    dot precisions inside Pallas kernels (lax.Precision.HIGH raises
+    NotImplementedError in the Mosaic lowering)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def mm_einsum(sub: str, a: jnp.ndarray, b: jnp.ndarray,
+              precision_name: str) -> jnp.ndarray:
+    """Einsum contraction at a named precision. 'high' = manual 3-pass bf16
+    decomposition (a_hi b_hi + a_hi b_lo + a_lo b_hi, each a true bf16 MXU
+    pass with f32 accumulation, ~2^-16 relative -- same arithmetic XLA
+    emits for Precision.HIGH outside Pallas); 'highest' = 6 passes;
+    'default' = 1 rounded pass."""
+    if precision_name == "high":
+        ah, al = _hi_lo_bf16(a)
+        bh, bl = _hi_lo_bf16(b)
+
+        def d(x, y):
+            return jnp.einsum(sub, x, y, preferred_element_type=jnp.float32)
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jnp.einsum(
+        sub, a, b, preferred_element_type=jnp.float32,
+        precision=PRECISIONS[precision_name],
+    )
+
+
 def triangular_cumsum(
     x: jnp.ndarray, tri: jnp.ndarray,
-    precision=jax.lax.Precision.HIGHEST,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """cumsum via (P,G) @ (G,G) upper-triangular ones matrix -- MXU-native.
 
-    Precision >= HIGH is required: the MXU's default single-pass bf16 rounds
-    the log-transmittance prefix sums to ~3 decimal digits, which shows up
-    as ~1e-2 absolute image error vs the jnp rasterizer. HIGH (3 bf16
-    passes, ~f32 for these magnitudes) halves the MXU time of HIGHEST (6
-    passes) -- this matmul is the largest FLOP consumer of both kernels."""
+    `precision` is the cfg.matmul_precision NAME. Precision better than one
+    bf16 pass is required: single-pass bf16 rounds the log-transmittance
+    prefix sums to ~3 decimal digits (~1e-2 absolute image error vs the jnp
+    rasterizer). 'high' exploits that `tri` is 0/1 and therefore bf16-EXACT:
+    only x needs the hi/lo split, so the whole cumsum is 2 true-bf16 MXU
+    passes (vs 6 for 'highest') with per-term error ~2^-16 relative -- and
+    this matmul is the largest FLOP consumer of both kernels."""
+    if precision == "high":
+        xh, xl = _hi_lo_bf16(x)
+        trib = tri.astype(jnp.bfloat16)
+        return jnp.dot(
+            xh, trib, preferred_element_type=jnp.float32
+        ) + jnp.dot(xl, trib, preferred_element_type=jnp.float32)
     return jnp.dot(
-        x, tri, preferred_element_type=jnp.float32, precision=precision,
+        x, tri, preferred_element_type=jnp.float32,
+        precision=PRECISIONS[precision],
     )
 
 
@@ -211,9 +252,8 @@ def blend_block(
     )
     colors = feat[FEAT_R : FEAT_R + 3]  # (3, G)
     # (3, G) x (P, G) contracted over G -> (3, P): MXU.
-    new_color = carry.color + jnp.einsum(
-        "cg,pg->cp", colors, w, preferred_element_type=jnp.float32,
-        precision=PRECISIONS[cfg.matmul_precision],
+    new_color = carry.color + mm_einsum(
+        "cg,pg->cp", colors, w, cfg.matmul_precision
     )
     return BlendCarry(color=new_color, trans=new_trans, done=new_done)
 
@@ -246,10 +286,7 @@ def blend_block_bwd(
     colors = feat[FEAT_R : FEAT_R + 3]  # (3, G)
 
     # dL/dw[p,g] = sum_c colors[c,g] * g_color[c,p]
-    dw = jnp.einsum(
-        "cg,cp->pg", colors, g_color, preferred_element_type=jnp.float32,
-        precision=PRECISIONS[cfg.matmul_precision],
-    )
+    dw = mm_einsum("cg,cp->pg", colors, g_color, cfg.matmul_precision)
     b = dw * w                                    # (P, G)
     cum_b = accum_b + cumsum_fn(b)                # inclusive prefix incl. past blocks
     suffix = b_total - cum_b                      # sum over strictly-later Gaussians
@@ -276,10 +313,8 @@ def blend_block_bwd(
     #   M[k, g] = sum_p basis[p, k] * dpower[p, g],
     # every conic/mean gradient is a G-length combination of M -- replacing
     # five (P, G) product temporaries + six pixel-axis reductions on the VPU.
-    m = jnp.einsum(
-        "pk,pg->kg", aux["basis"], dpower,
-        preferred_element_type=jnp.float32,
-        precision=PRECISIONS[cfg.matmul_precision],
+    m = mm_einsum(
+        "pk,pg->kg", aux["basis"], dpower, cfg.matmul_precision
     )  # (6, G): [sum, x, y, x^2, y^2, xy] moments of dpower
     gxr, gyr = aux["gxr"][0], aux["gyr"][0]  # (G,)
     ca, cb, cc, op = aux["ca"][0], aux["cb"][0], aux["cc"][0], aux["op"][0]
@@ -300,10 +335,7 @@ def blend_block_bwd(
     # jnp.where is a lane select, so the NaN in the untaken branch is inert.
     d_op = jnp.where(op > 0.0, m[0] / jnp.maximum(op, 1e-30), 0.0)
     # dL/dcolor[c,g] = sum_p g_color[c,p] * w[p,g]
-    d_colors = jnp.einsum(
-        "cp,pg->cg", g_color, w, preferred_element_type=jnp.float32,
-        precision=PRECISIONS[cfg.matmul_precision],
-    )
+    d_colors = mm_einsum("cp,pg->cg", g_color, w, cfg.matmul_precision)
 
     dfeat = jnp.concatenate(
         [

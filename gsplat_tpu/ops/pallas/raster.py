@@ -153,8 +153,7 @@ def _fwd_kernel(ranges_ref, offset_ref, feat_hbm, out_ref, buf, sems, *, cfg: Re
     px, py = _pixel_coords(cfg, t + offset_ref[0])
     tri = make_triangular(g)
     cumsum = functools.partial(
-        triangular_cumsum, tri=tri,
-        precision=blend_ops.PRECISIONS[cfg.matmul_precision],
+        triangular_cumsum, tri=tri, precision=cfg.matmul_precision,
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
@@ -231,8 +230,7 @@ def _bwd_kernel(
     px, py = _pixel_coords(cfg, t + offset_ref[0])
     tri = make_triangular(g)
     cumsum = functools.partial(
-        triangular_cumsum, tri=tri,
-        precision=blend_ops.PRECISIONS[cfg.matmul_precision],
+        triangular_cumsum, tri=tri, precision=cfg.matmul_precision,
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 

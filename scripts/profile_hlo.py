@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--grad-readout", default="f32")
     ap.add_argument("--segment-sum", default="doubling")
     ap.add_argument("--stream-format", default="f32")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--max-intersections", type=int, default=4_100_000)
+    ap.add_argument("--num-gaussians", type=int, default=1_000_000)
+    ap.add_argument("--matmul-precision", default="highest")
     args = ap.parse_args()
 
     from gsplat_tpu.config import RenderConfig
@@ -40,16 +45,19 @@ def main():
         for x in args.tier_spec.split(",")
     )
     cfg = RenderConfig(
-        width=1920, height=1080, tile_size=32,
-        max_intersections=4_100_000, max_tiles_per_gaussian=64,
+        width=args.width, height=args.height, tile_size=32,
+        max_intersections=args.max_intersections, max_tiles_per_gaussian=64,
         block_size=32, max_per_tile=8192, binning="tiered", impl="pallas",
         pallas_block_size=128, tier_spec=spec,
         gather_backward=args.gather_backward,
         grad_readout=args.grad_readout,
         segment_sum=args.segment_sum,
         stream_format=args.stream_format,
+        matmul_precision=args.matmul_precision,
     )
-    scene = jax.device_put(random_scene(jax.random.key(0), 1_000_000, sh_degree=3))
+    scene = jax.device_put(
+        random_scene(jax.random.key(0), args.num_gaussians, sh_degree=3)
+    )
     cam = Camera.default(cfg.width, cfg.height)
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 

@@ -165,3 +165,33 @@ def test_blend_bwd_matches_autodiff():
     np.testing.assert_allclose(
         np.asarray(analytic), np.asarray(auto_grad), rtol=2e-3, atol=2e-4
     )
+
+
+def test_matmul_precision_high_matches_highest():
+    """'high' is a MANUAL 3-pass bf16 decomposition (2-pass for the
+    triangular cumsum, whose 0/1 matrix is bf16-exact) because Mosaic
+    lowers only DEFAULT/HIGHEST inside Pallas kernels. It must agree with
+    'highest' to ~2^-16 relative."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsplat_tpu.ops.blend import make_triangular, mm_einsum, triangular_cumsum
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (64, 32)) * 5.0
+    tri = make_triangular(32)
+    hi = triangular_cumsum(x, tri, "high")
+    exact = triangular_cumsum(x, tri, "highest")
+    # per-term rounding is ~2^-16 relative; elements of the cumsum can
+    # cancel, so tolerance is absolute against the ~50-magnitude sums
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(exact),
+                               rtol=1e-3, atol=5e-4)
+
+    a = jax.random.normal(jax.random.fold_in(key, 1), (3, 32))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (64, 32))
+    np.testing.assert_allclose(
+        np.asarray(mm_einsum("cg,pg->cp", a, b, "high")),
+        np.asarray(mm_einsum("cg,pg->cp", a, b, "highest")),
+        rtol=1e-3, atol=5e-4,
+    )

@@ -132,10 +132,17 @@ def main():
         print("WARNING: --viewer is a TPU workload preset; ignored on "
               f"{jax.default_backend()}", file=sys.stderr)
     if args.viewer and on_tpu:
+        # Viewer-sized capacities (scripts/scene_report.py at 800^2: count
+        # quantiles p50=2 p90=5 p99=8 max=15, members>4 119k, >8 6.2k):
+        # the 1080p ladder carries 8.6M candidate lanes for 2.0M live
+        # intersections here; this ladder carries 4.75M and K_max 32 halves
+        # the (N, K) cull/compact grids. 64.2 -> 40.7 ms measured (24.5
+        # fps; PROFILE.md has the per-op remainder).
         kwargs.update(
             width=800, height=800, mode="fwd", iters=30,
-            max_intersections=2_600_000,
-            tier_spec=((4, 0), (8, 2), (16, 6), (32, 25), (64, 50)),
+            max_intersections=2_330_000,
+            tier_spec=((4, 0), (8, 6), (16, 100), (32, 2000)),
+            max_tiles_per_gaussian=32,
         )
     if args.mode:
         kwargs["mode"] = args.mode

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--max-intersections", type=int, default=4_100_000)
     ap.add_argument("--num-gaussians", type=int, default=1_000_000)
     ap.add_argument("--matmul-precision", default="highest")
+    ap.add_argument("--kmax", type=int, default=64)
     args = ap.parse_args()
 
     from gsplat_tpu.config import RenderConfig
@@ -46,7 +47,8 @@ def main():
     )
     cfg = RenderConfig(
         width=args.width, height=args.height, tile_size=32,
-        max_intersections=args.max_intersections, max_tiles_per_gaussian=64,
+        max_intersections=args.max_intersections,
+        max_tiles_per_gaussian=args.kmax,
         block_size=32, max_per_tile=8192, binning="tiered", impl="pallas",
         pallas_block_size=128, tier_spec=spec,
         gather_backward=args.gather_backward,

@@ -70,6 +70,19 @@ class RenderConfig:
     # 'scatter': cumsum offsets + scatter into the capacity buffer, then sort
     #            max_intersections keys (when N*K_max >> max_intersections).
     binning: str = "sort"
+    # Upper bound on the projected 3-sigma screen radius in PIXELS (0 =
+    # off). When a splat's projected footprint exceeds it, the 2D
+    # covariance is isotropically shrunk so the radius lands exactly at the
+    # bound. This bounds every tile rect to (floor(2r/tile)+2)^2 tiles BY
+    # CONSTRUCTION, which is what makes a static max_tiles_per_gaussian
+    # safe under training: splats drifting right in front of a camera
+    # otherwise project near-full-screen rects (measured: 756 tiles at
+    # 512^2 from a capture-statistics tail) and trip the K_max overflow
+    # flag no matter the budget. The reference has no such case to handle
+    # -- its rect walk is dynamically sized per frame
+    # (src/renderer.ts:419-441) -- so this knob is the static-shape-native
+    # answer, off by default for parity.
+    max_screen_radius: float = 0.0
     # Exact ellipse-tile intersection culling of rect candidates whose peak
     # alpha in the tile is below alpha_min. Image- and gradient-invariant
     # (the blend skips those anyway); shrinks the intersection stream 2-4x.

@@ -144,11 +144,29 @@ def project_gaussians(
     det = c00 * c11 - c01 * c01
     valid = in_frustum & (det > 0.0)
     det_safe = jnp.where(valid, det, 1.0)
-    inv_det = 1.0 / det_safe
-    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], -1)
 
     mid = 0.5 * (c00 + c11)
     lambda1 = mid + jnp.sqrt(jnp.maximum(cfg.eigen_clamp, mid * mid - det_safe))
+    if cfg.max_screen_radius:
+        # Screen-footprint clamp (see RenderConfig.max_screen_radius):
+        # isotropic covariance shrink by f <= 1 so the 3-sigma radius lands
+        # at the bound. f is a stop-gradient (the clamp is a projection-
+        # time guard, not a differentiable model component), det scales by
+        # f^2 and lambda1 by f, so conic/radius/rect below all see the
+        # bounded footprint consistently.
+        r_raw = cfg.radius_sigma * jnp.sqrt(lambda1)
+        f = jax.lax.stop_gradient(
+            jnp.minimum(1.0, cfg.max_screen_radius / jnp.maximum(r_raw, 1e-6))
+            ** 2
+        )
+        c00 = c00 * f
+        c01 = c01 * f
+        c11 = c11 * f
+        det_safe = det_safe * f * f
+        lambda1 = lambda1 * f
+
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], -1)
     radius = jnp.ceil(cfg.radius_sigma * jnp.sqrt(lambda1))
 
     opacity = jax_sigmoid(scene.opacity_logits)

@@ -51,18 +51,31 @@ def size_capacities(scenes, cams, probe_cfg, kmax):
         valid = _rect_cull_mask(
             proj, cfg, proj.mask.shape[0], cfg.max_tiles_per_gaussian, rect_w
         )
-        return jnp.sum(valid, axis=1).astype(jnp.int32)
+        # Post-cull counts size the tiers; the raw rect area sizes K_max
+        # (counts are silently TRUNCATED at K_max, so they cannot reveal
+        # rect overflow -- proj.overflow can).
+        rect_area = (
+            jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 0)
+            * jnp.maximum(proj.rect[:, 3] - proj.rect[:, 1], 0)
+        )
+        return (
+            jnp.sum(valid, axis=1).astype(jnp.int32),
+            jnp.max(jnp.where(proj.mask, rect_area, 0)),
+        )
 
     worst_members = {}
     worst_total = 0
+    worst_rect = 0
     for scene in scenes:
         for cam in cams:
-            counts = np.asarray(counts_fn(scene, cam, probe_cfg))
+            counts, max_rect = counts_fn(scene, cam, probe_cfg)
+            counts = np.asarray(counts)
+            worst_rect = max(worst_rect, int(max_rect))
             worst_total = max(worst_total, int(counts.sum()))
             for k_lo in (4, 8, 16, 32):
                 m = int((counts > k_lo).sum())
                 worst_members[k_lo] = max(worst_members.get(k_lo, 0), m)
-    return worst_members, worst_total
+    return worst_members, worst_total, worst_rect
 
 
 def main():
@@ -76,6 +89,11 @@ def main():
     ap.add_argument("--holdout", type=int, default=4)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--lr-max-steps", type=int, default=None,
+                    help="decay horizon (default: --steps); pin it when "
+                    "running a short diagnostic so the compiled graph "
+                    "matches the full run and the compile cache carries "
+                    "over")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out-dir", default="runs/protocol")
     args = ap.parse_args()
@@ -106,38 +124,73 @@ def main():
             np.linalg.norm(np.asarray(target_scene.means), axis=-1), 90
         )
     )
+    # Enforce the protocol's own big-splat bound on the TARGET: training
+    # prunes splats with world scale > 0.05*radius (densify_max_scale, the
+    # 3DGS 5.2 rule), so a target violating it is unfittable by
+    # construction -- and realistic_scene's log-normal tail contains
+    # full-screen splats whose tile rects (measured: 1024 tiles at 512^2)
+    # exceed any practical K_max. Real trained captures satisfy this bound
+    # for the same reason: the original pipeline prunes them too.
+    max_log_scale = float(np.log(0.05 * radius))
+    target_scene = target_scene.replace(
+        log_scales=jnp.minimum(target_scene.log_scales, max_log_scale)
+    )
     total_views = args.views + args.holdout
     cams = orbit_cameras(
         np.zeros(3), radius, total_views, s, s, fx=float(s), fy=float(s)
     )
 
     init = random_scene(jax.random.fold_in(key, 1), args.init_n, sh_degree=3)
+    # Scale means AND splat extents together: shrinking the cloud to the
+    # target's radius while keeping unit-box splat sizes makes splats
+    # relatively huge -- their rects blow past K_max within the first
+    # training steps (caught by overflow_policy='raise').
     init = init.replace(
-        means=(init.means - init.means.mean(0)) * (radius / 2.5)
+        means=(init.means - init.means.mean(0)) * (radius / 2.5),
+        log_scales=jnp.minimum(
+            init.log_scales + np.log(radius / 2.5), max_log_scale
+        ),
+        # Standard 3DGS init: opacity 0.1 (graphdeco's inverse_sigmoid(0.1)
+        # init) -- random ~0.5 opacities start as full-screen fog the
+        # optimizer must first erase.
+        opacity_logits=jnp.full_like(init.opacity_logits, -2.197),
     ).pad_to(args.capacity)
 
     # ---- capacity sizing (tier budgets + stream capacity) ----
+    # The screen-footprint clamp is what makes static K_max safe over 5000
+    # steps of free-moving splats: r=72px at tile 16 bounds every rect to
+    # (floor(144/16)+2)^2 = 121 <= K_max 128 tiles BY CONSTRUCTION
+    # (cfg.max_screen_radius docstring; without it, splats drifting in
+    # front of a camera measured 756-tile rects and tripped
+    # overflow_policy='raise' within 50 steps at ANY budget).
+    kmax = 128
     probe_cfg = RenderConfig(
         width=s, height=s, tile_size=16, max_intersections=1 << 20,
         max_tiles_per_gaussian=kmax, block_size=16, max_per_tile=2048,
-        binning="tiered", impl="pallas",
+        binning="tiered", impl="pallas", max_screen_radius=72.0,
         tier_spec=((4, 0), (8, 2), (16, 4), (32, 16), (64, 64)),
     )
-    members, worst_total = size_capacities(
+    members, worst_total, worst_rect = size_capacities(
         [target_scene, init], cams, probe_cfg, kmax
     )
+    assert worst_rect <= kmax, (worst_rect, kmax)
     n_cap = args.capacity
     spec = [(4, 0)]
     for k_lo, k_hi in ((4, 8), (8, 16), (16, 32), (32, 64)):
-        budget = int(members[k_lo] * 1.6) + 256
+        # 4x margin + floor: training moves splat scales much faster than a
+        # static snapshot suggests (a 1.6x margin saturated within 50 steps
+        # under overflow_policy='raise'); pool rows are cheap at this scale.
+        budget = int(members[k_lo] * 4.0) + 1024
         spec.append((k_hi, max(1, n_cap // budget)))
-    max_i = int(worst_total * 2.0)
+    max_i = int(worst_total * 2.5)
     max_i += (-max_i) % 2048  # segsum block multiple: skip the pad copy
     print(f"sized: members={members} worst_total={worst_total} "
+          f"worst_rect={worst_rect} kmax={kmax} "
           f"tier_spec={spec} max_intersections={max_i}", flush=True)
 
     cfg = dataclasses.replace(
         probe_cfg,
+        max_tiles_per_gaussian=kmax,
         max_intersections=max_i,
         tier_spec=tuple(spec),
         pallas_block_size=256,
@@ -187,13 +240,16 @@ def main():
         log_every=50,
         overflow_policy="raise",
         densify_every=100,
-        densify_grad_threshold=5e-5,
+        # uv-space trigger (uv in [0,1]): graphdeco's 2e-4 is on [-1,1] NDC
+        # grads, i.e. 1e-4 in uv units. 5e-5 split 12% of splats per round
+        # (measured) -- far beyond the original recipe's pace.
+        densify_grad_threshold=1e-4,
         densify_until=args.steps // 2,
         densify_max_scale=0.05 * radius,
         opacity_reset_every=1500,
         sh_warmup_every=1000,
         position_lr_final_ratio=0.01,
-        lr_max_steps=args.steps,
+        lr_max_steps=args.lr_max_steps or args.steps,
         eval_every=250,
         eval_fn=eval_fn,
         metrics_csv=os.path.join(args.out_dir, "metrics.csv"),

@@ -164,3 +164,59 @@ def test_projection_grads_finite(small_cfg, small_scene, small_camera):
     g = jax.grad(loss)(small_scene)
     for leaf in jax.tree.leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_max_screen_radius_bounds_rects():
+    """cfg.max_screen_radius shrinks oversized footprints so the tile rect
+    is bounded BY CONSTRUCTION (static K_max safety under training); small
+    splats are bit-identical to the unclamped projection."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene
+    from gsplat_tpu.ops.projection import project_gaussians
+
+    cfg = RenderConfig(width=256, height=256, tile_size=16,
+                       max_intersections=1 << 14, max_tiles_per_gaussian=64,
+                       block_size=16, max_per_tile=256)
+    scene = random_scene(jax.random.key(0), 64, sh_degree=1)
+    # One giant splat right in front of the camera: full-screen footprint.
+    scene = scene.replace(
+        log_scales=scene.log_scales.at[0].set(jnp.log(5.0))
+    )
+    cam = Camera.default(cfg.width, cfg.height)
+
+    base = project_gaussians(scene, cam, cfg)
+    assert bool(base.overflow), "unclamped giant splat must overflow K_max"
+
+    r_max = 40.0
+    ccfg = dataclasses.replace(cfg, max_screen_radius=r_max)
+    clamped = project_gaussians(scene, cam, ccfg)
+    assert not bool(clamped.overflow)
+    rad = np.asarray(clamped.radius)[np.asarray(clamped.mask)]
+    assert rad.max() <= r_max + 1.0  # ceil slack
+    area = np.asarray(
+        (clamped.rect[:, 2] - clamped.rect[:, 0])
+        * (clamped.rect[:, 3] - clamped.rect[:, 1])
+    )
+    per_axis = int(2 * r_max // cfg.tile_size) + 2
+    assert area.max() <= per_axis * per_axis
+
+    # Splats under the bound are untouched.
+    small = np.asarray(base.radius) <= r_max
+    np.testing.assert_array_equal(
+        np.asarray(base.conic)[small], np.asarray(clamped.conic)[small]
+    )
+
+    # Still differentiable (the clamp factor is stop-gradient).
+    def loss(s):
+        p = project_gaussians(s, cam, ccfg)
+        return jnp.sum(jnp.where(p.mask[:, None], p.conic, 0.0))
+
+    g = jax.grad(lambda s: loss(s))(scene)
+    assert all(
+        bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g)
+    )

@@ -261,6 +261,8 @@ def main(argv=None) -> int:
                    help="static Gaussian capacity for densification "
                         "(default 2x the initial count)")
     p.add_argument("--densify-grad-threshold", type=float, default=2e-4)
+    p.add_argument("--densify-from", type=int, default=0,
+                   help="first densification step (graphdeco: 500)")
     p.add_argument("--densify-until", type=int, default=None,
                    help="stop densifying after this step (default steps/2)")
     p.add_argument("--densify-max-scale", type=float, default=None,

@@ -200,7 +200,16 @@ def _block_weights(
     dx = (px - ox) - gxr  # = px - gx, via tile-relative terms
     dy = (py - oy) - gyr
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    e = jnp.exp(power)
+    # exp of the NON-POSITIVE part only: a PSD conic makes power <= 0
+    # mathematically, but at huge conic magnitudes (tiny splats: A ~ 1/
+    # sigma^2) catastrophic cancellation can leave power spuriously
+    # POSITIVE by up to ~|terms|*eps -- large enough that exp overflows to
+    # inf. Such lanes are excluded by the ok-mask (power <= 0), but an inf
+    # alpha_u then turns the backward's 0 * inf products into NaNs, and the
+    # moments matmul spreads one NaN lane to every Gaussian in the block --
+    # measured as 120k splats dying inside one training step. min(power, 0)
+    # is exact on every contributing lane and bounds alpha_u <= opacity.
+    e = jnp.exp(jnp.minimum(power, 0.0))
     alpha_u = op * e
     alpha = jnp.minimum(cfg.alpha_clamp, alpha_u)
     ok = (

@@ -111,8 +111,31 @@ def densify_and_prune(
     max_scale = jnp.exp(jnp.max(scene.log_scales, axis=-1))
 
     trigger = alive & (avg_grad > grad_threshold)
-    split = trigger & (max_scale > split_size)
-    clone = trigger & ~split
+    split_want = trigger & (max_scale > split_size)
+    clone_want = trigger & ~split_want
+
+    # ---- admission against the TRUE free-slot budget --------------------
+    # Each admitted op nets +1 slot (a split frees its parent and places 2
+    # children; a clone places 1), so at most `free0` ops fit, where free0
+    # counts slots freed by PRUNING alone (dead, or big-and-not-splitting).
+    # Ops beyond the budget are NOT performed at all -- their parents
+    # survive untouched. (The previous behavior killed every split parent
+    # and then dropped the children that found no slot: each saturated
+    # round destroyed up to 2*splits - free Gaussians; a continuously
+    # saturated run collapsed the whole scene.)
+    big = (
+        (max_scale > max_world_scale)
+        if max_world_scale is not None
+        else jnp.zeros_like(alive)
+    )
+    pruned = (~alive) | (alive & big & ~split_want)
+    free0 = jnp.sum(pruned)
+    want = trigger & ~pruned
+    adm_rank = jnp.cumsum(want) - 1
+    admitted = want & (adm_rank < free0)
+    split = split_want & admitted
+    clone = clone_want & admitted
+    saturated = jnp.sum(want) > free0
 
     # --- children: 2 per split + 1 per clone ----------------------------
     # (child specs read the ORIGINAL scene; the kill pass comes after)
@@ -126,7 +149,7 @@ def densify_and_prune(
     sigma = max_scale
     offset = major_axis * sigma[:, None]
 
-    want = jnp.stack([split | clone, split], axis=1)          # (C, 2)
+    child_want = jnp.stack([split | clone, split], axis=1)    # (C, 2)
     # Split children sit at +/- one sigma along the major axis; a clone's
     # child is nudged a small fraction of sigma so the twins decorrelate.
     child_means = jnp.stack(
@@ -145,10 +168,9 @@ def densify_and_prune(
     ).repeat(2, axis=1)
 
     # --- prune + free split parents -------------------------------------
-    keep = alive & ~split
-    if max_world_scale is not None:
-        keep = keep & (max_scale <= max_world_scale)
-    dead = ~keep
+    # A big splat that splits is replaced by its /1.6 children; a big splat
+    # that doesn't is pruned outright (3DGS 5.2 big-splat removal).
+    dead = pruned | split
 
     def kill(x, fill, mask):
         shape = (c,) + (1,) * (x.ndim - 1)
@@ -169,10 +191,10 @@ def densify_and_prune(
     free_rank = jnp.cumsum(free) - 1                          # (C,)
     num_free = jnp.sum(free)
 
-    child_flat = want.reshape(-1)                             # (2C,)
+    child_flat = child_want.reshape(-1)                       # (2C,)
     child_rank = jnp.cumsum(child_flat) - 1
-    num_children = jnp.sum(child_flat)
-    saturated = num_children > num_free
+    # Admission guarantees 2*splits + clones <= free0 + splits = num_free:
+    # every child of an admitted op gets a slot; no drops.
 
     # slot_of_rank: r-th free slot's index (C entries, C sentinel-padded).
     slot_of_rank = jnp.full((c + 1,), c, jnp.int32).at[

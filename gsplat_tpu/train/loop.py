@@ -94,6 +94,16 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.scene, tap, cameras, targets,
           active_sh if mask_sh else None)
+        # One NaN/inf gradient lane cascades through Adam into the whole
+        # scene within a couple of steps (a non-finite parameter renders
+        # non-finite pixels, whose gradients touch every splat in the
+        # tile); surface it so fit() can abort with a diagnosis instead of
+        # silently training a dead scene.
+        aux["grads_finite"] = jnp.all(
+            jnp.stack([
+                jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+            ])
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
         visible = aux.pop("visible")
@@ -184,6 +194,7 @@ def fit(
     on_metrics=None,
     densify_every: int = 0,
     densify_grad_threshold: float = 2e-4,
+    densify_from: int = 0,
     densify_until: int | None = None,
     densify_max_scale: float | None = None,
     metrics_csv: str | None = None,
@@ -207,6 +218,10 @@ def fit(
     eval_every > 0 calls eval_fn(scene, step) every that many steps (host
     callback outside jit; used for held-out-view PSNR); its dict return is
     merged into that step's metrics row.
+
+    densify_from delays the first densification round (graphdeco's
+    densify_from_iter=500: rounds before the fit has any structure split
+    half the random init at once).
 
     densify_every > 0 enables adaptive density control (train/densify.py):
     the scene must carry free capacity (GaussianScene.pad_to). The trigger
@@ -260,6 +275,7 @@ def fit(
     start_step = int(state.step)
     ovf_any = jnp.zeros((), bool)          # device-side accumulators --
     int_max = jnp.zeros((), jnp.int32)     # no per-step host sync
+    grads_ok = jnp.ones((), bool)
 
     def check_overflow(at_step):
         nonlocal ovf_any, int_max
@@ -316,11 +332,15 @@ def fit(
             state, cams_b, targets_b, active_sh
         )
         ovf_any = ovf_any | aux["overflow"]
+        grads_ok = grads_ok & aux["grads_finite"]
         int_max = jnp.maximum(int_max, aux["num_intersections"])
         if densify_every:
             dstate = accumulate_grads(dstate, screen_grads, visible)
             until = densify_until if densify_until is not None else steps // 2
-            if (it + 1) % densify_every == 0 and it + 1 <= until:
+            if (
+                (it + 1) % densify_every == 0
+                and densify_from <= it + 1 <= until
+            ):
                 new_scene, dstate, changed, dstats = densify_fn(
                     state.scene, dstate
                 )
@@ -344,6 +364,18 @@ def fit(
             )
         if (it + 1) % log_every == 0 or it + 1 == steps:
             check_overflow(it + 1)
+            if not bool(grads_ok):
+                msg = (
+                    f"non-finite gradients during step <= {it + 1}: a "
+                    "NaN/inf parameter cascades through the whole scene "
+                    "within a few steps (the fit is unrecoverable). "
+                    "Typical causes: degenerate quats/scales, a custom "
+                    "loss without stabilizers."
+                )
+                if overflow_policy == "raise":
+                    raise FloatingPointError(msg)
+                print(f"WARNING: {msg}")
+                grads_ok = jnp.ones((), bool)
             loss = float(loss)
             dt = time.time() - t_last
             t_last = time.time()
@@ -443,6 +475,7 @@ def train_from_cli(args) -> int:
         resume=args.resume,
         densify_every=args.densify_every,
         densify_grad_threshold=args.densify_grad_threshold,
+        densify_from=getattr(args, "densify_from", 0),
         densify_until=args.densify_until,
         densify_max_scale=args.densify_max_scale,
         opacity_reset_every=args.opacity_reset_every,

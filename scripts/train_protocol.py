@@ -88,13 +88,20 @@ def main():
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--holdout", type=int, default=4)
     ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--lr", type=float, default=2e-2)
+    # lr 1e-2 puts make_optimizer's per-param scales at the graphdeco
+    # values (opacity 0.05, scales 5e-3, rotation 1e-3, SH 2.5e-3).
+    ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--lr-max-steps", type=int, default=None,
                     help="decay horizon (default: --steps); pin it when "
                     "running a short diagnostic so the compiled graph "
                     "matches the full run and the compile cache carries "
                     "over")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init", default="sfm", choices=["sfm", "random"],
+                    help="'sfm': subsampled target positions + noisy DC "
+                    "colors (the graphdeco SfM-point-cloud analogue); "
+                    "'random': structure-free ablation")
+    ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--out-dir", default="runs/protocol")
     args = ap.parse_args()
 
@@ -141,19 +148,58 @@ def main():
     )
 
     init = random_scene(jax.random.fold_in(key, 1), args.init_n, sh_degree=3)
+    if args.init == "sfm":
+        # The graphdeco protocol initializes from the SfM point cloud --
+        # approximate scene GEOMETRY and per-point COLOR estimated from the
+        # very capture images. The honest analogue here: a random subsample
+        # of the target's positions with jitter, DC color with noise, and
+        # nothing else (no scales, rotations, opacities, or higher SH).
+        # Random-position init is the ablation (--init random): it trains
+        # stably but converges to a memorize-the-views minimum
+        # (holdout ~9.5 dB vs train 16.5 at 5k steps, run 6).
+        kj = jax.random.fold_in(key, 2)
+        sel = jax.random.choice(
+            kj, args.target_n, (args.init_n,), replace=False
+        )
+        jitter = 0.01 * radius * jax.random.normal(
+            jax.random.fold_in(kj, 1), (args.init_n, 3)
+        )
+        dc_noise = 0.1 * jax.random.normal(
+            jax.random.fold_in(kj, 2), (args.init_n, 1, 3)
+        )
+        init = init.replace(
+            means=jnp.take(target_scene.means, sel, axis=0) + jitter,
+            sh=init.sh.at[:, 0:1].set(
+                jnp.take(target_scene.sh[:, 0:1], sel, axis=0) + dc_noise
+            ),
+        )
     # Scale means AND splat extents together: shrinking the cloud to the
     # target's radius while keeping unit-box splat sizes makes splats
     # relatively huge -- their rects blow past K_max within the first
     # training steps (caught by overflow_policy='raise').
+    # Nearest-neighbor-spacing init scales (graphdeco inits each splat at
+    # its SfM-point spacing): ~radius / N^(1/3). Random-scene box scales
+    # left ~hundreds of splats overlapping every pixel -- a fog whose
+    # uniform "too bright" gradient drives ALL opacities below the
+    # alpha_min cut (which is zero-gradient, i.e. irreversible) within
+    # ~100 steps of Adam at the standard opacity lr.
+    nn_spacing = radius / max(args.init_n, 1) ** (1.0 / 3.0)
     init = init.replace(
-        means=(init.means - init.means.mean(0)) * (radius / 2.5),
+        means=init.means if args.init == "sfm"
+        else (init.means - init.means.mean(0)) * (radius / 2.5),
         log_scales=jnp.minimum(
-            init.log_scales + np.log(radius / 2.5), max_log_scale
+            jnp.full_like(init.log_scales, np.log(nn_spacing)), max_log_scale
         ),
         # Standard 3DGS init: opacity 0.1 (graphdeco's inverse_sigmoid(0.1)
         # init) -- random ~0.5 opacities start as full-screen fog the
         # optimizer must first erase.
         opacity_logits=jnp.full_like(init.opacity_logits, -2.197),
+        # Zero the non-DC SH bands (graphdeco inits f_rest to zeros): with
+        # random rest bands, sh_warmup unmasking degree 1 at step 1000
+        # injects garbage colors into a converging fit -- measured: train
+        # PSNR 17.6 dB at step 750, dead scene (all opacities driven to 0)
+        # by step 1250.
+        sh=init.sh.at[:, 1:].set(0.0),
     ).pad_to(args.capacity)
 
     # ---- capacity sizing (tier budgets + stream capacity) ----
@@ -227,9 +273,17 @@ def main():
             float(psnr(eval_render(scene_now, cams[i]), all_targets[i]))
             for i in train_idx[:4]
         ]
+        op = jax.nn.sigmoid(scene_now.opacity_logits)
+        alive = op > 1.0 / 255.0
+        mx = jnp.exp(jnp.max(scene_now.log_scales, axis=-1))
         return {
             "holdout_psnr": round(float(np.mean(hold)), 3),
             "train_psnr": round(float(np.mean(tr)), 3),
+            "alive": int(jnp.sum(alive)),
+            "mean_op": round(float(jnp.mean(jnp.where(alive, op, 0.0))), 4),
+            "p99_scale": round(
+                float(jnp.percentile(jnp.where(alive, mx, 0.0), 99.9)), 4
+            ),
         }
 
     t0 = time.time()
@@ -240,17 +294,20 @@ def main():
         log_every=50,
         overflow_policy="raise",
         densify_every=100,
+        densify_from=500,  # graphdeco densify_from_iter
         # uv-space trigger (uv in [0,1]): graphdeco's 2e-4 is on [-1,1] NDC
         # grads, i.e. 1e-4 in uv units. 5e-5 split 12% of splats per round
         # (measured) -- far beyond the original recipe's pace.
         densify_grad_threshold=1e-4,
         densify_until=args.steps // 2,
         densify_max_scale=0.05 * radius,
-        opacity_reset_every=1500,
+        # One mid-run reset with room to recover (graphdeco: every 3000 of
+        # 30k; a reset a few hundred steps before the end cannot re-learn).
+        opacity_reset_every=min(3000, (args.steps * 3) // 5),
         sh_warmup_every=1000,
         position_lr_final_ratio=0.01,
         lr_max_steps=args.lr_max_steps or args.steps,
-        eval_every=250,
+        eval_every=args.eval_every,
         eval_fn=eval_fn,
         metrics_csv=os.path.join(args.out_dir, "metrics.csv"),
         checkpoint_every=args.steps // 2,

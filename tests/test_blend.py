@@ -195,3 +195,43 @@ def test_matmul_precision_high_matches_highest():
         np.asarray(mm_einsum("cg,pg->cp", a, b, "highest")),
         rtol=1e-3, atol=5e-4,
     )
+
+
+def test_indefinite_conic_no_nan_gradients():
+    """exp(power) must not overflow: huge-conic cancellation can leave
+    `power` spuriously positive (PSD conics make it <= 0 only in exact
+    arithmetic), and an inf alpha on a masked lane turns the backward's
+    0*inf products into NaNs that the moments matmul spreads to every
+    Gaussian in the block (measured: 120k splats killed in one training
+    step). Feed an INDEFINITE conic (the adversarial extreme of the
+    rounding case) and require finite gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RenderConfig
+    from gsplat_tpu.ops.binning import NUM_FEATURES
+    from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+    cfg = RenderConfig(width=32, height=32, tile_size=8,
+                       max_intersections=1 << 10, block_size=8,
+                       max_per_tile=64)
+    m = cfg.max_intersections
+    feats = jnp.zeros((NUM_FEATURES, m), jnp.float32)
+    # slot 0: indefinite conic (B^2 > AC) in tile 0 -> power > 0 far from
+    # center -> exp overflow without the min(power, 0) guard.
+    feats = feats.at[:, 0].set(
+        jnp.asarray([4.0, 4.0, 1.0, -10.0, 1.0, 0.5, 0.5, 0.5, 0.9])
+    )
+    # slot 1: a normal splat in the same tile (its gradient must survive).
+    feats = feats.at[:, 1].set(
+        jnp.asarray([4.0, 4.0, 0.5, 0.0, 0.5, 0.2, 0.4, 0.6, 0.8])
+    )
+    ranges = jnp.zeros((cfg.num_tiles + 1,), jnp.int32).at[1:].set(2)
+
+    def loss(f):
+        img, trans = rasterize_tiles_jnp(f, ranges, cfg)
+        return jnp.sum(img) + jnp.sum(trans)
+
+    val, g = jax.value_and_grad(loss)(feats)
+    assert bool(jnp.isfinite(val))
+    assert bool(jnp.all(jnp.isfinite(g))), "NaN leaked from the masked lane"

@@ -190,3 +190,74 @@ def test_fit_with_densification_reduces_loss():
     )
     assert trained.num_gaussians == 64  # capacity preserved
     assert metrics[-1]["loss"] < metrics[0]["loss"]
+
+
+def test_saturated_round_preserves_mass():
+    """At zero free capacity, a densify round must be a NO-OP (plus the
+    saturated flag) -- the old behavior killed split parents and dropped
+    the children that found no slot, destroying mass every saturated round
+    (measured: a continuously saturated run collapsed 256k splats to 0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsplat_tpu.models.gaussians import random_scene
+    from gsplat_tpu.train.densify import (
+        DensifyState,
+        densify_and_prune,
+        init_densify_state,
+    )
+
+    scene = random_scene(jax.random.key(0), 64, sh_degree=1)
+    # All alive (high opacity), all large (will want splits), no free slots.
+    scene = scene.replace(
+        opacity_logits=jnp.full_like(scene.opacity_logits, 3.0),
+        log_scales=jnp.full_like(scene.log_scales, jnp.log(0.5)),
+    )
+    st = init_densify_state(64)
+    st = DensifyState(
+        grad_accum=jnp.full((64,), 1.0),     # every splat far over threshold
+        count=jnp.ones((), jnp.int32),
+        visit_count=jnp.ones((64,), jnp.int32),
+    )
+    new_scene, _, changed, stats = densify_and_prune(
+        scene, st, grad_threshold=2e-4, split_size=0.01
+    )
+    assert bool(stats["saturated"])
+    assert int(stats["num_alive"]) == 64, "saturation must not destroy mass"
+    for a, b in zip(jax.tree.leaves(new_scene), jax.tree.leaves(scene)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not bool(jnp.any(changed))
+
+
+def test_partially_saturated_round_admits_budget():
+    """With F free slots and more than F wanted ops, exactly F ops run and
+    every admitted split places BOTH children."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.models.gaussians import random_scene
+    from gsplat_tpu.train.densify import (
+        DensifyState,
+        alive_mask,
+        densify_and_prune,
+    )
+
+    c, n_alive = 64, 48  # 16 free slots
+    scene = random_scene(jax.random.key(1), n_alive, sh_degree=1)
+    scene = scene.replace(
+        opacity_logits=jnp.full_like(scene.opacity_logits, 3.0),
+        log_scales=jnp.full_like(scene.log_scales, jnp.log(0.5)),
+    ).pad_to(c)
+    st = DensifyState(
+        grad_accum=jnp.where(jnp.arange(c) < n_alive, 1.0, 0.0),
+        count=jnp.ones((), jnp.int32),
+        visit_count=jnp.ones((c,), jnp.int32),
+    )
+    new_scene, _, _, stats = densify_and_prune(
+        scene, st, grad_threshold=2e-4, split_size=0.01
+    )
+    assert bool(stats["saturated"])
+    # 16 admitted splits: 48 - 16 parents + 32 children = 64 alive.
+    assert int(stats["num_alive"]) == 64
+    assert int(jnp.sum(alive_mask(new_scene))) == 64

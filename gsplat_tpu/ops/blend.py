@@ -79,9 +79,12 @@ def cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(x, axis=-1)
 
 
+# 'high' is deliberately ABSENT: it means the manual 3-pass bf16 emulation
+# (mm_einsum / triangular_cumsum handle it before this lookup), and an
+# unrouted PRECISIONS['high'] must raise rather than silently run the
+# 6-pass HIGHEST path (2x MXU cost, semantic drift).
 PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGHEST,  # call sites route 'high' manually
     "highest": jax.lax.Precision.HIGHEST,
 }
 

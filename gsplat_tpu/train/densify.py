@@ -131,11 +131,25 @@ def densify_and_prune(
     pruned = (~alive) | (alive & big & ~split_want)
     free0 = jnp.sum(pruned)
     want = trigger & ~pruned
-    adm_rank = jnp.cumsum(want) - 1
+    # Admission is ranked by accumulated gradient, not slot index (a
+    # slot-ordered cumsum starves high-index splats with large gradients
+    # across every saturated round). Big splats that want a split rank
+    # first regardless of gradient: their children are the only way to
+    # satisfy the 5.2 size bound without destroying content.
+    score = avg_grad + jnp.where(big & split_want, 1e9, 0.0)
+    order = jnp.argsort(jnp.where(want, -score, jnp.inf))
+    adm_rank = jnp.zeros((c,), jnp.int32).at[order].set(
+        jnp.arange(c, dtype=jnp.int32)
+    )
     admitted = want & (adm_rank < free0)
     split = split_want & admitted
     clone = clone_want & admitted
     saturated = jnp.sum(want) > free0
+    # Hard 5.2 bound: a big splat whose split was NOT admitted must not
+    # survive untouched (its tile rect is the K_max-overflow risk the bound
+    # exists to prevent) -- prune it outright. Only enlarges the free-slot
+    # pool, so the no-drop admission guarantee below still holds.
+    big_unadmitted = big & split_want & ~admitted
 
     # --- children: 2 per split + 1 per clone ----------------------------
     # (child specs read the ORIGINAL scene; the kill pass comes after)
@@ -170,7 +184,7 @@ def densify_and_prune(
     # --- prune + free split parents -------------------------------------
     # A big splat that splits is replaced by its /1.6 children; a big splat
     # that doesn't is pruned outright (3DGS 5.2 big-splat removal).
-    dead = pruned | split
+    dead = pruned | split | big_unadmitted
 
     def kill(x, fill, mask):
         shape = (c,) + (1,) * (x.ndim - 1)

@@ -307,6 +307,52 @@ def fit(
         ovf_any = jnp.zeros((), bool)
         int_max = jnp.zeros((), jnp.int32)
 
+    # Scene-health guard: the round-3 sfm protocol run died before step 250
+    # yet trained a black image for 47 minutes (eval frozen at 6.285 dB for
+    # 20 consecutive evals, 2 alive Gaussians). Cheap liveness checks on the
+    # eval rows turn that failure mode into a 5-minute diagnosis.
+    eval_hist: list[dict] = []
+    alive_first: int | None = None
+
+    def check_scene_health(row, at_step):
+        nonlocal alive_first
+        if overflow_policy == "ignore":
+            return
+        problems = []
+        alive = row.get("alive")
+        if alive is not None:
+            if alive_first is None:
+                alive_first = max(int(alive), 1)
+            elif int(alive) < max(64, alive_first // 100):
+                problems.append(
+                    f"alive-Gaussian count collapsed to {alive} "
+                    f"(first eval: {alive_first})"
+                )
+        eval_hist.append(row)
+        metric = next(
+            (k for k in ("holdout_psnr", "train_psnr") if k in row), None
+        )
+        if metric is not None and len(eval_hist) >= 3:
+            vals = [r.get(metric) for r in eval_hist[-3:]]
+            if (
+                all(v is not None for v in vals)
+                and max(vals) - min(vals) < 1e-3
+                and vals[-1] < 15.0
+            ):
+                problems.append(
+                    f"{metric} frozen at {vals[-1]} dB for 3 consecutive "
+                    "evals (the rendered image is not changing; a dead/NaN "
+                    "scene otherwise trains silently to the end)"
+                )
+        if problems:
+            msg = (
+                f"scene-health collapse detected at step {at_step}: "
+                + "; ".join(problems)
+            )
+            if overflow_policy == "raise":
+                raise RuntimeError(msg)
+            print(f"WARNING: {msg}")
+
     # Epoch-shuffled view sampling (graphdeco pops from a reshuffled camera
     # stack each epoch; uniform-with-replacement can starve views).
     view_queue: list[int] = []
@@ -385,6 +431,7 @@ def fit(
                 (it + 1) % eval_every == 0 or it + 1 == steps
             ):
                 row.update(eval_fn(state.scene, it + 1) or {})
+                check_scene_health(row, it + 1)
                 t_last = time.time()  # don't bill eval time to it/s
             metrics.append(row)
             print(row if on_metrics is None else on_metrics(row))

@@ -105,6 +105,27 @@ def main():
     ap.add_argument("--out-dir", default="runs/protocol")
     args = ap.parse_args()
 
+    # One run per directory: the round-3 CSVs interleaved four runs with no
+    # separator and summary.json silently described only the last.
+    metrics_path = os.path.join(args.out_dir, "metrics.csv")
+    if os.path.exists(metrics_path):
+        raise SystemExit(
+            f"{metrics_path} already exists -- one run per directory; "
+            "pick a fresh --out-dir (or delete the old run explicitly)"
+        )
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "run_meta.json"), "w") as f:
+        json.dump(
+            {
+                "argv": sys.argv[1:],
+                "args": vars(args),
+                "started_unix": round(time.time(), 1),
+                "devices": [str(d) for d in jax.devices()],
+            },
+            f,
+            indent=1,
+        )
+
     import dataclasses
 
     from gsplat_tpu import Camera, RenderConfig, random_scene, render
@@ -259,7 +280,6 @@ def main():
     cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *train_cams)
     targets = all_targets[train_idx]
 
-    os.makedirs(args.out_dir, exist_ok=True)
     write_png(os.path.join(args.out_dir, "target_v0.png"), targets[0])
 
     eval_render = jax.jit(lambda sc, c: render(sc, c, cfg).image)

@@ -25,11 +25,13 @@ Because an int32 array cannot carry JAX cotangents, pack -> gather ->
 rasterize is ONE fused custom_vjp here (`rasterize_packed16`) rather than
 the separate differentiable gather + raster VJPs of the f32 path.
 
-Supported single-device AND tile-sharded (the local band config carries the
-global quantization ranges via cfg.quant_ranges, so pack and in-kernel
-unpack agree across shards). The Gaussian-sharded path has its own wire
-compression (cfg.fragment_format='bf16') and rejects packed16: its fragment
-exchange reads raw feature rows.
+Supported on ALL paths: single-device, tile-sharded (the local band config
+carries the global quantization ranges via cfg.quant_ranges, so pack and
+in-kernel unpack agree across shards), and Gaussian-sharded (where the
+packed stream doubles as the fragment-exchange wire format --
+parallel/gaussian_sharded.py `_p16_shard_raster`: 5 int32 rows on the
+all_to_all, u16 fixed-point means, finer than the f32 path's optional
+fragment_format='bf16' compression at the same byte count).
 
 Reference parity note: the reference streams full-f32 Gaussian records to
 its WGSL blend (reference: src/compute_tiles.wgsl, 64-B GaussianData); this

@@ -104,49 +104,53 @@ def _blocks_gather_bwd(td, cap, num_shards, res, dblocks):
 _blocks_gather.defvjp(_blocks_gather_fwd, _blocks_gather_bwd)
 
 
-def _fragment_blocks(proj, binned, cfg: RenderConfig, lcfg: RenderConfig,
-                     num_shards: int, cap: int):
-    """Re-space the globally-sorted local stream into D fixed-size
-    destination blocks. Returns (feat_blocks (F, D*cap), tile_blocks (D*cap,)
-    local-tile ids with sentinel lcfg.num_tiles, overflow ())."""
-    td = lcfg.num_tiles  # tiles per destination shard
-    ranges = binned.ranges  # (num_tiles + 1,) over the GLOBAL grid
-    seg_start = ranges[jnp.arange(num_shards) * td]            # (D,)
-    seg_end = ranges[(jnp.arange(num_shards) + 1) * td]        # (D,)
+def _block_layout(ranges_g, num_shards: int, td: int, cap: int):
+    """Destination-block slot map of the globally-sorted local stream:
+    block slot s of destination shard d = s // cap reads stream position
+    src_pos[s]; the seg boundaries partition the full sorted stream because
+    contiguous tile shards cover the whole grid. Returns (seg_start,
+    seg_end, dest, src_pos, valid, overflow)."""
+    seg_start = ranges_g[jnp.arange(num_shards) * td]          # (D,)
+    seg_end = ranges_g[(jnp.arange(num_shards) + 1) * td]      # (D,)
     overflow = jnp.any(seg_end - seg_start > cap)
-
     s = jnp.arange(num_shards * cap, dtype=jnp.int32)
     dest = s // cap
     src_pos = seg_start[dest] + s % cap                        # (D*cap,)
     valid = src_pos < seg_end[dest]
+    return seg_start, seg_end, dest, src_pos, valid, overflow
 
-    feats = gather_features(proj, binned, cfg)                 # (F, max_I)
-    idx = jnp.where(valid, src_pos, feats.shape[1])
-    feat_blocks = _blocks_gather(
-        td, cap, num_shards, feats, idx, binned.sorted_tile, seg_start,
-        seg_end,
-    )
-    tile = jnp.take(
-        binned.sorted_tile, jnp.minimum(src_pos, binned.sorted_tile.shape[0] - 1),
-        axis=0,
-    )
+
+def _block_merge_keys(proj, binned, td: int, dest, src_pos, valid):
+    """Per-block-slot u32 merge key (local_tile << depth_bits | depth_q),
+    0xFFFFFFFF for invalid slots. Depth is a merge-ordering key only (no
+    longer a gathered feature row; ops/binning.py NUM_FEATURES note):
+    gathered per slot explicitly, outside the differentiable path."""
+    src_c = jnp.minimum(src_pos, binned.sorted_tile.shape[0] - 1)
+    tile = jnp.take(binned.sorted_tile, src_c, axis=0)
     tile_blocks = jnp.where(valid, tile - dest * td, td).astype(jnp.int32)
-    # Depth is a merge-ordering key only (no longer a gathered feature row;
-    # ops/binning.py NUM_FEATURES note): gather it per slot explicitly,
-    # outside the differentiable path.
     n = proj.depth.shape[0]
     depth_slots = jnp.take(
         jax.lax.stop_gradient(proj.depth),
         jnp.clip(binned.sorted_gid, 0, n - 1),
     )
-    depth_row = jnp.where(
-        valid,
-        jnp.take(
-            depth_slots, jnp.minimum(src_pos, depth_slots.shape[0] - 1)
-        ),
-        0.0,
+    depth_row = jnp.where(valid, jnp.take(depth_slots, src_c), 0.0)
+    return jnp.where(
+        tile_blocks >= td,
+        jnp.uint32(0xFFFFFFFF),
+        pack_tile_depth_key(tile_blocks, depth_row, td),
     )
-    return feat_blocks, tile_blocks, depth_row, overflow
+
+
+def _fragment_blocks(proj, binned, cfg: RenderConfig, td: int, num_shards: int,
+                     cap: int, seg_start, seg_end, src_pos, valid):
+    """Re-space the globally-sorted local f32 feature stream into D
+    fixed-size destination blocks (F, D*cap)."""
+    feats = gather_features(proj, binned, cfg)                 # (F, max_I)
+    idx = jnp.where(valid, src_pos, feats.shape[1])
+    return _blocks_gather(
+        td, cap, num_shards, feats, idx, binned.sorted_tile, seg_start,
+        seg_end,
+    )
 
 
 @jax.custom_vjp
@@ -228,18 +232,19 @@ def _a2a_features_bf16_bwd(axis_name: str, cfg: RenderConfig, res, dout):
 _a2a_features_bf16.defvjp(_a2a_features_bf16_fwd, _a2a_features_bf16_bwd)
 
 
-def _merge_received(recv_feats, recv_key, lcfg: RenderConfig, align: int):
-    """Merge D depth-sorted fragments into one per-tile depth-ordered
-    feature stream + ranges for the local tile rows. recv_key is the packed
-    (local_tile << depth_bits | depth_q) u32 merge key, computed at the
-    SOURCE and exchanged instead of separate tile + depth rows (half the
-    metadata bytes; bit-identical merge order)."""
+def _merge_order(recv_key, lcfg: RenderConfig, align: int):
+    """Merge-sort metadata for D received depth-sorted fragments: recv_key
+    is the packed (local_tile << depth_bits | depth_q) u32 merge key,
+    computed at the SOURCE and exchanged instead of separate tile + depth
+    rows (half the metadata bytes; bit-identical merge order). Returns
+    (s_perm merged-pos -> recv-slot with -1 pad, present recv-slot
+    validity, ranges (td+1,), overflow) -- integers only, shared by the f32
+    and packed16 paths."""
     m = recv_key.shape[0]
     td = lcfg.num_tiles
     depth_bits = depth_bits_for(td)
-    key = recv_key
     perm = jnp.arange(m, dtype=jnp.int32)
-    s_key, s_perm = jax.lax.sort_key_val(key, perm)
+    s_key, s_perm = jax.lax.sort_key_val(recv_key, perm)
     s_tile = jnp.minimum(
         jax.lax.shift_right_logical(s_key, jnp.uint32(depth_bits)),
         jnp.uint32(td),
@@ -256,9 +261,159 @@ def _merge_received(recv_feats, recv_key, lcfg: RenderConfig, align: int):
         )
         overflow = total_padded > m
     # every valid received slot lands in the stream
-    present = key != jnp.uint32(0xFFFFFFFF)
+    present = recv_key != jnp.uint32(0xFFFFFFFF)
+    return s_perm, present, jax.lax.stop_gradient(ranges), overflow
+
+
+def _merge_received(recv_feats, recv_key, lcfg: RenderConfig, align: int):
+    """Merge D depth-sorted fragments into one per-tile depth-ordered
+    feature stream + ranges for the local tile rows (f32 feature path)."""
+    s_perm, present, ranges, overflow = _merge_order(recv_key, lcfg, align)
     feats = _perm_gather(recv_feats, s_perm, present)
-    return feats, jax.lax.stop_gradient(ranges), overflow
+    return feats, ranges, overflow
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _p16_shard_raster(axis_name: str, src_cfg: RenderConfig,
+                      lcfg: RenderConfig, feats9, block_gid, gidk_block,
+                      offsets, counts, s_perm, present, ranges_l,
+                      tile_offset):
+    """packed16 fragment exchange + merge + raster as ONE fused custom_vjp
+    (an int32 packed stream cannot carry JAX cotangents between separate
+    VJPs -- same reason ops/stream16.rasterize_packed16 is fused).
+
+    Forward: quantize the per-Gaussian features once (stream16.pack_stream,
+    GLOBAL quant ranges), compose the slot gather and the destination-block
+    re-space into a single (5, D*cap) int32 gather by Gaussian id, exchange
+    5 int32 rows on the wire (u16 fixed-point means -- finer than the bf16
+    wire format -- and bf16-pair conic/color/opacity), permutation-gather
+    the merge order, and feed the packed merged stream straight to the
+    raster kernel, which unpacks in VMEM.
+
+    Backward: raster bwd emits per-merged-slot gradients (bf16-pair-packed
+    int32 on the Pallas path); the merge permutation is inverted with one
+    sort (never a scatter), the tiled all_to_all transposes itself (an
+    involution), and the received block slots reduce DIRECTLY to
+    per-Gaussian gradients via the gidk sort + segmented suffix-sum --
+    the (F, max_I) stream intermediate of the f32 path never exists.
+
+    block_gid: (D*cap,) int32 Gaussian id per outgoing block slot
+      (N_local = invalid); gidk_block: matching gid<<KBITS|k (-1 invalid);
+    s_perm: (D*cap,) merged-position -> received-slot permutation (-1 pad);
+    present: (D*cap,) bool received-slot validity; ranges_l: (td+1,) local
+    tile ranges of the merged stream."""
+    out, _ = _p16_fwd_impl(axis_name, src_cfg, lcfg, feats9, block_gid,
+                           s_perm, ranges_l, tile_offset)
+    return out
+
+
+def _p16_fwd_impl(axis_name, src_cfg, lcfg, feats9, block_gid, s_perm,
+                  ranges_l, tile_offset):
+    from gsplat_tpu.ops.stream16 import pack_stream, unpack_block
+
+    packed = pack_stream(feats9, src_cfg)            # (5, N_local) int32
+    # Zero pad column: an all-zero packed column unpacks to zero opacity,
+    # so invalid slots cannot contribute (binning._gather_slots note).
+    packed_pad = jnp.pad(packed, ((0, 0), (0, 1)))
+    blocks = jnp.take(packed_pad, block_gid, axis=1, mode="clip")
+    recv = jax.lax.all_to_all(
+        blocks, axis_name, split_axis=1, concat_axis=1, tiled=True
+    )                                                # (5, D*cap) int32
+    m = recv.shape[1]
+    recv_pad = jnp.pad(recv, ((0, 0), (0, 1)))
+    merged = jnp.take(
+        recv_pad, jnp.where(s_perm < 0, m, s_perm), axis=1, mode="clip"
+    )
+    offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
+    if lcfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas import raster as R
+
+        (image, trans), res = R._rasterize_fwd(merged, ranges_l, offset, lcfg)
+        return (image, trans), res
+    merged9 = unpack_block(merged, lcfg)
+    from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+    image, trans = rasterize_tiles_jnp(
+        merged9, ranges_l, lcfg, tile_offset=offset[0]
+    )
+    return (image, trans), (merged9, ranges_l, offset)
+
+
+def _p16_shard_raster_fwd(axis_name, src_cfg, lcfg, feats9, block_gid,
+                          gidk_block, offsets, counts, s_perm, present,
+                          ranges_l, tile_offset):
+    out, raster_res = _p16_fwd_impl(
+        axis_name, src_cfg, lcfg, feats9, block_gid, s_perm, ranges_l,
+        tile_offset,
+    )
+    return out, (raster_res, gidk_block, offsets, counts, s_perm, present)
+
+
+def _p16_shard_raster_bwd(axis_name, src_cfg, lcfg, residuals, grads):
+    from gsplat_tpu.ops.binning import (
+        NUM_FEATURES,
+        _gather_slots_bwd,
+        packed_grad_reduce,
+    )
+
+    raster_res, gidk_block, offsets, counts, s_perm, present = residuals
+    if lcfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas import raster as R
+
+        dmerged = R._rasterize_bwd(lcfg, raster_res, grads)[0]
+    else:
+        merged9, ranges_l, offset = raster_res
+        from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+        _, vjp = jax.vjp(
+            lambda s: rasterize_tiles_jnp(
+                s, ranges_l, lcfg, tile_offset=offset[0]
+            ),
+            merged9,
+        )
+        dmerged = vjp(grads)[0]
+    # Un-merge: transpose of the injective take-by-s_perm -- received slot
+    # r's gradient sits at rank(r) of the merged stream sorted by source
+    # slot id (_perm_gather_bwd's sort-based construction; works unchanged
+    # on the int32 bf16-pair-packed gradient rows).
+    key = jnp.where(s_perm >= 0, s_perm, jnp.int32(2**31 - 1))
+    _, pos = jax.lax.sort_key_val(
+        key, jnp.arange(s_perm.shape[0], dtype=jnp.int32)
+    )
+    dsorted = jnp.take(dmerged, pos, axis=1)
+    rank = jnp.cumsum(present) - 1
+    picked = jnp.take(
+        dsorted, jnp.clip(rank, 0, dsorted.shape[1] - 1), axis=1
+    )
+    zero = jnp.zeros((), dmerged.dtype)
+    drecv = jnp.where(present[None, :], picked, zero)
+    # The tiled all_to_all over one axis is its own transpose. int32 lanes
+    # pass through bit-exactly (bf16 pairs as f32 would be denormal-flushed).
+    dblocks = jax.lax.all_to_all(
+        drecv, axis_name, split_axis=1, concat_axis=1, tiled=True
+    )
+    # Block slots -> per-Gaussian gradients: block slots cover every valid
+    # stream position exactly once (the seg boundaries partition the sorted
+    # stream; overflow truncation is flagged by the caller), so the gidk
+    # sort + segmented suffix-sum reduce applies directly.
+    segsum = src_cfg.segment_sum
+    if segsum == "pallas" and src_cfg.pallas_interpret:
+        segsum = "pallas_interpret"
+    keyg = jnp.where(gidk_block >= 0, gidk_block, jnp.int32(2**31 - 1))
+    if dblocks.dtype == jnp.int32:
+        dfeats = packed_grad_reduce(
+            src_cfg.max_tiles_per_gaussian, segsum, keyg, dblocks,
+            NUM_FEATURES, offsets, counts,
+        )
+    else:
+        dfeats = _gather_slots_bwd(
+            src_cfg.max_tiles_per_gaussian, src_cfg.gather_backward,
+            src_cfg.grad_readout, segsum, (keyg, offsets, counts), dblocks,
+        )[0]
+    return (dfeats,) + (None,) * 8
+
+
+_p16_shard_raster.defvjp(_p16_shard_raster_fwd, _p16_shard_raster_bwd)
 
 
 def _src_cfg_for(cfg: RenderConfig) -> RenderConfig:
@@ -282,44 +437,64 @@ def _shard_render(scene, camera, cfg: RenderConfig, src_cfg: RenderConfig,
     densification visibility denominator) and overflow is this shard's flag
     (caller pmax-reduces)."""
     idx = jax.lax.axis_index(axis_name)
+    td = lcfg.num_tiles
     proj = project_gaussians(scene, camera, src_cfg, uv_tap=uv_tap)
     binned = bin_gaussians(proj, src_cfg)
-    feat_blocks, tile_blocks, depth_row, ovf = _fragment_blocks(
-        proj, binned, src_cfg, lcfg, d, cap
+    seg_start, seg_end, dest, src_pos, valid, ovf = _block_layout(
+        binned.ranges, d, td, cap
     )
     # Merge key computed at the SOURCE: one u32 row on the wire instead of
     # tile (i32) + depth (f32).
-    key_blocks = jnp.where(
-        tile_blocks >= lcfg.num_tiles,
-        jnp.uint32(0xFFFFFFFF),
-        pack_tile_depth_key(tile_blocks, depth_row, lcfg.num_tiles),
-    )
-    # The fragment exchange: block i on source s becomes block s on
-    # destination i. Feature payload (F, D*cap) splits on the slot axis.
-    if cfg.fragment_format == "bf16":
-        recv_feats = _a2a_features_bf16(feat_blocks, axis_name, cfg)
-    else:
-        recv_feats = jax.lax.all_to_all(
-            feat_blocks, axis_name, split_axis=1, concat_axis=1, tiled=True
-        )
+    key_blocks = _block_merge_keys(proj, binned, td, dest, src_pos, valid)
     recv_key = jax.lax.all_to_all(
         key_blocks, axis_name, split_axis=0, concat_axis=0, tiled=True
     )
-    feats, ranges, merge_ovf = _merge_received(recv_feats, recv_key, lcfg,
-                                               align)
-    tile_offset = idx * lcfg.num_tiles
-    if cfg.impl == "pallas":
-        from gsplat_tpu.ops.pallas.raster import rasterize_pallas
+    s_perm, present, ranges, merge_ovf = _merge_order(recv_key, lcfg, align)
+    tile_offset = idx * td
+    if cfg.stream_format == "packed16":
+        # Production fast path: quantize once per shard, exchange 5 int32
+        # rows, raster the packed merged stream (fused custom_vjp above).
+        from gsplat_tpu.ops.binning import features_f32
 
-        image, trans = rasterize_pallas(
-            feats, ranges, lcfg, tile_offset=tile_offset
+        feats9 = features_f32(proj, src_cfg)
+        src_c = jnp.minimum(src_pos, binned.sorted_gid.shape[0] - 1)
+        g = jnp.take(binned.sorted_gid, src_c)
+        block_gid = jnp.where(valid & (g >= 0), g, feats9.shape[1])
+        gidk_block = jnp.where(
+            valid, jnp.take(binned.sorted_gidk, src_c), -1
+        )
+        image, trans = _p16_shard_raster(
+            axis_name, src_cfg, lcfg, feats9, block_gid, gidk_block,
+            binned.gauss_offsets, binned.gauss_counts, s_perm, present,
+            ranges, tile_offset,
         )
     else:
-        from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
-
-        image, trans = rasterize_tiles_jnp(
-            feats, ranges, lcfg, tile_offset=tile_offset
+        feat_blocks = _fragment_blocks(
+            proj, binned, src_cfg, td, d, cap, seg_start, seg_end, src_pos,
+            valid,
         )
+        # The fragment exchange: block i on source s becomes block s on
+        # destination i. Feature payload (F, D*cap) splits on the slot axis.
+        if cfg.fragment_format == "bf16":
+            recv_feats = _a2a_features_bf16(feat_blocks, axis_name, cfg)
+        else:
+            recv_feats = jax.lax.all_to_all(
+                feat_blocks, axis_name, split_axis=1, concat_axis=1,
+                tiled=True,
+            )
+        feats = _perm_gather(recv_feats, s_perm, present)
+        if cfg.impl == "pallas":
+            from gsplat_tpu.ops.pallas.raster import rasterize_pallas
+
+            image, trans = rasterize_pallas(
+                feats, ranges, lcfg, tile_offset=tile_offset
+            )
+        else:
+            from gsplat_tpu.ops.raster_jnp import rasterize_tiles_jnp
+
+            image, trans = rasterize_tiles_jnp(
+                feats, ranges, lcfg, tile_offset=tile_offset
+            )
     ovf = ovf | binned.overflow | merge_ovf
     visible = jax.lax.stop_gradient(proj.counts > 0)
     return image, trans, ovf, visible
@@ -402,12 +577,6 @@ def render_gaussian_sharded(
     Returns (image (H, W, 3), transmittance (H, W), overflow ()); the image
     comes out sharded over rows, like render_tile_sharded.
     """
-    if cfg.stream_format != "f32":
-        raise NotImplementedError(
-            "Gaussian-sharded fragment exchange reads raw f32 feature rows "
-            "(wire compression is cfg.fragment_format='bf16'); packed16 is "
-            "for the single-device and tile-sharded paths"
-        )
     d = mesh.shape[axis_name]
     lcfg = local_tile_cfg(cfg, d)
     cap = per_dest_capacity or max(cfg.max_intersections // d, 1)

@@ -83,12 +83,6 @@ def make_gaussian_sharded_train_step(
     targets: (B, padded_H, padded_W, 3), rows sharded over `axis_name`.
     screen_grads/visible come back N-sharded, feeding the per-shard
     densification accumulator (train/densify.py semantics)."""
-    if cfg.stream_format != "f32":
-        raise NotImplementedError(
-            "Gaussian-sharded training reads raw f32 feature rows (wire "
-            "compression is cfg.fragment_format='bf16'); use "
-            "stream_format='f32'"
-        )
     d = mesh.shape[axis_name]
     lcfg = local_tile_cfg(cfg, d)
     capacity = example_scene.num_gaussians
@@ -353,7 +347,11 @@ def fit_gaussian_sharded(
 def load_gaussian_sharded_checkpoint(
     path: str, like: TrainState, mesh: Mesh, axis_name: str = "gauss"
 ) -> TrainState:
-    """Restore a fit_gaussian_sharded checkpoint and re-shard it."""
+    """Restore a LEGACY single-file (gathered npz) checkpoint and re-shard
+    it. `fit_gaussian_sharded` itself writes per-shard directories readable
+    only by `load_sharded_checkpoint`; this loader exists for checkpoints
+    produced by the single-device trainer (`utils/checkpoint.py`) that are
+    being promoted onto a gaussian-sharded mesh."""
     from gsplat_tpu.utils.checkpoint import load_checkpoint
 
     state = load_checkpoint(path, like)

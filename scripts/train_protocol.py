@@ -102,6 +102,7 @@ def main():
                     "colors (the graphdeco SfM-point-cloud analogue); "
                     "'random': structure-free ablation")
     ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--trace-dir", default=None,
                     help="jax.profiler trace of steps [trace-at, trace-at+20)")
     ap.add_argument("--trace-at", type=int, default=120)
@@ -314,7 +315,7 @@ def main():
         init, cameras, targets, cfg,
         steps=args.steps, lr=args.lr, batch=args.batch, seed=args.seed,
         ssim_weight=0.2,
-        log_every=50,
+        log_every=args.log_every,
         overflow_policy="raise",
         densify_every=100,
         densify_from=500,  # graphdeco densify_from_iter

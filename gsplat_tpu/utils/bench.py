@@ -352,7 +352,7 @@ def _run_bench_sharded(scene, cam, cfg, mode, iters, n_tiles, n_data,
         run_arg = state
 
         def run_once(a):
-            new_state, _ = step(a, cams, targets)
+            new_state, _, _, _ = step(a, cams, targets)
             return new_state
 
         comm = {

@@ -78,7 +78,7 @@ def size_capacities(scenes, cams, probe_cfg, kmax):
     return worst_members, worst_total, worst_rect
 
 
-def main():
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--size", type=int, default=512)
@@ -103,32 +103,22 @@ def main():
                     "'random': structure-free ablation")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--opacity-reset-every", type=int, default=None,
+                    help="override the min(3000, 3/5*steps) default "
+                    "(diagnostics: short runs move the reset into the "
+                    "failure window)")
+    ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--trace-dir", default=None,
                     help="jax.profiler trace of steps [trace-at, trace-at+20)")
     ap.add_argument("--trace-at", type=int, default=120)
     ap.add_argument("--out-dir", default="runs/protocol")
-    args = ap.parse_args()
+    return ap.parse_args(argv)
 
-    # One run per directory: the round-3 CSVs interleaved four runs with no
-    # separator and summary.json silently described only the last.
-    metrics_path = os.path.join(args.out_dir, "metrics.csv")
-    if os.path.exists(metrics_path):
-        raise SystemExit(
-            f"{metrics_path} already exists -- one run per directory; "
-            "pick a fresh --out-dir (or delete the old run explicitly)"
-        )
-    os.makedirs(args.out_dir, exist_ok=True)
-    with open(os.path.join(args.out_dir, "run_meta.json"), "w") as f:
-        json.dump(
-            {
-                "argv": sys.argv[1:],
-                "args": vars(args),
-                "started_unix": round(time.time(), 1),
-                "devices": [str(d) for d in jax.devices()],
-            },
-            f,
-            indent=1,
-        )
+
+def build(args):
+    """Rebuild the full deterministic protocol setup (target scene, cameras,
+    init, sized config, eval machinery) WITHOUT running the fit -- shared by
+    main() and the failure-debug harness (scripts/debug_nan.py)."""
 
     import dataclasses
 
@@ -284,6 +274,7 @@ def main():
     cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *train_cams)
     targets = all_targets[train_idx]
 
+    os.makedirs(args.out_dir, exist_ok=True)
     write_png(os.path.join(args.out_dir, "target_v0.png"), targets[0])
 
     eval_render = jax.jit(lambda sc, c: render(sc, c, cfg).image)
@@ -310,6 +301,45 @@ def main():
             ),
         }
 
+    return dict(
+        init=init, cameras=cameras, targets=targets, cfg=cfg, radius=radius,
+        eval_fn=eval_fn, eval_render=eval_render, cams=cams,
+        all_targets=all_targets, hold_idx=hold_idx, train_idx=train_idx,
+        max_i=max_i, spec=spec, s=s,
+    )
+
+
+def main():
+    args = parse_args()
+    # One run per directory: the round-3 CSVs interleaved four runs with no
+    # separator and summary.json silently described only the last.
+    metrics_path = os.path.join(args.out_dir, "metrics.csv")
+    if os.path.exists(metrics_path):
+        raise SystemExit(
+            f"{metrics_path} already exists -- one run per directory; "
+            "pick a fresh --out-dir (or delete the old run explicitly)"
+        )
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "run_meta.json"), "w") as f:
+        json.dump(
+            {
+                "argv": sys.argv[1:],
+                "args": vars(args),
+                "started_unix": round(time.time(), 1),
+                "devices": [str(d) for d in jax.devices()],
+            },
+            f,
+            indent=1,
+        )
+
+    b = build(args)
+    init, cameras, targets, cfg = (
+        b["init"], b["cameras"], b["targets"], b["cfg"]
+    )
+    radius, eval_fn, eval_render = b["radius"], b["eval_fn"], b["eval_render"]
+    cams, all_targets, hold_idx = b["cams"], b["all_targets"], b["hold_idx"]
+    max_i, spec, s = b["max_i"], b["spec"], b["s"]
+
     t0 = time.time()
     trained, metrics = fit(
         init, cameras, targets, cfg,
@@ -327,14 +357,16 @@ def main():
         densify_max_scale=0.05 * radius,
         # One mid-run reset with room to recover (graphdeco: every 3000 of
         # 30k; a reset a few hundred steps before the end cannot re-learn).
-        opacity_reset_every=min(3000, (args.steps * 3) // 5),
+        opacity_reset_every=args.opacity_reset_every
+        if args.opacity_reset_every is not None
+        else min(3000, (args.steps * 3) // 5),
         sh_warmup_every=1000,
         position_lr_final_ratio=0.01,
         lr_max_steps=args.lr_max_steps or args.steps,
         eval_every=args.eval_every,
         eval_fn=eval_fn,
         metrics_csv=os.path.join(args.out_dir, "metrics.csv"),
-        checkpoint_every=args.steps // 2,
+        checkpoint_every=args.checkpoint_every or args.steps // 2,
         checkpoint_dir=os.path.join(args.out_dir, "ckpt"),
         trace_dir=args.trace_dir,
         trace_steps=(

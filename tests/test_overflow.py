@@ -84,5 +84,5 @@ def test_sharded_step_reports_overflow():
     mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2), ("data", "tiles"))
     step = make_sharded_train_step(cfg, mesh, optimizer)
     cameras, targets = shard_batch(cameras, targets, mesh)
-    _, m = step(state, cameras, targets)
-    assert bool(m["overflow"])
+    _, _, aux, _ = step(state, cameras, targets)
+    assert bool(aux["overflow"])

@@ -80,11 +80,11 @@ def test_sharded_train_step_reduces_loss():
     state = init_train_state(scene, optimizer)
     cams_s, targets_s = shard_batch(cams, targets, mesh)
 
-    state, m0 = step(state, cams_s, targets_s)
-    l0 = float(m0["loss"])
+    state, l0, _, _ = step(state, cams_s, targets_s)
+    l0 = float(l0)
     for _ in range(10):
-        state, m = step(state, cams_s, targets_s)
-    l1 = float(m["loss"])
+        state, l1, _, _ = step(state, cams_s, targets_s)
+    l1 = float(l1)
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0, f"loss did not decrease: {l0} -> {l1}"
     assert int(state.step) == 11
@@ -103,11 +103,11 @@ def test_sharded_loss_matches_single_device():
     step = make_sharded_train_step(CFG, mesh, optimizer, ssim_weight=0.0)
     state = init_train_state(scene, optimizer)
     cams_s, targets_s = shard_batch(cams, targets, mesh)
-    _, metrics = step(state, cams_s, targets_s)
+    _, loss, _, _ = step(state, cams_s, targets_s)
 
     ref = render(scene, cam, CFG)
     ref_loss = float(jnp.mean(jnp.abs(ref.image - target)))
-    assert abs(float(metrics["loss"]) - ref_loss) < 1e-5
+    assert abs(float(loss) - ref_loss) < 1e-5
 
 
 @pytest.mark.parametrize("n_tiles", [2, 4])
@@ -128,12 +128,12 @@ def test_sharded_ssim_matches_single(n_tiles):
     step = make_sharded_train_step(CFG, mesh, optimizer)  # default w=0.2
     state = init_train_state(scene, optimizer)
     cams_s, targets_s = shard_batch(cams, targets, mesh)
-    _, metrics = step(state, cams_s, targets_s)
-    assert not bool(metrics["overflow"])
+    _, loss, aux, _ = step(state, cams_s, targets_s)
+    assert not bool(aux["overflow"])
 
     ref = render(scene, cam, CFG)
     ref_loss = float(rgb_loss(ref.image, target, ssim_weight=0.2))
-    assert abs(float(metrics["loss"]) - ref_loss) < 1e-5
+    assert abs(float(loss) - ref_loss) < 1e-5
 
 
 def test_sharded_ssim_rejects_short_bands():
@@ -256,8 +256,8 @@ def test_sharded_train_step_packed16_runs():
     step = make_sharded_train_step(cfg, mesh, optimizer, ssim_weight=0.0)
     state = init_train_state(scene, optimizer)
     cams_s, targets_s = shard_batch(cams, targets, mesh)
-    state, m0 = step(state, cams_s, targets_s)
+    state, l0, _, _ = step(state, cams_s, targets_s)
     for _ in range(5):
-        state, m = step(state, cams_s, targets_s)
-    assert np.isfinite(float(m["loss"]))
-    assert float(m["loss"]) < float(m0["loss"])
+        state, l1, _, _ = step(state, cams_s, targets_s)
+    assert np.isfinite(float(l1))
+    assert float(l1) < float(l0)

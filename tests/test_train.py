@@ -106,3 +106,23 @@ def test_fit_aborts_naming_nonfinite_grad_leaf():
             steps=2, lr=1e-2, ssim_weight=0.0, log_every=1,
             overflow_policy="raise",
         )
+
+
+def test_ssim_no_denominator_pole():
+    """SSIM must be pole-free BY CONSTRUCTION: the variance estimates
+    blur(a^2) - mu^2 go negative under floating-point cancellation (on TPU,
+    bf16-default convs pushed them to -4e-3, past the c2 = 9e-4 stabilizer
+    -- the round-4 protocol-run killer: loss = -inf at step 159), so the
+    clamped map must stay finite with finite gradients for ANY input
+    magnitude."""
+    from gsplat_tpu.train.losses import ssim_map
+
+    key = jax.random.key(3)
+    a = 1e3 * jax.random.uniform(key, (64, 64, 3))
+    b = 1e3 * jax.random.uniform(jax.random.fold_in(key, 1), (64, 64, 3))
+    m = ssim_map(a, b)
+    assert bool(jnp.all(jnp.isfinite(m)))
+    g = jax.grad(lambda x: ssim(x, b))(a)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # Identity still exact.
+    assert abs(float(ssim(a / 1e3, a / 1e3)) - 1.0) < 1e-5

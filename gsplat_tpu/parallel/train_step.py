@@ -177,7 +177,18 @@ def make_sharded_train_step(
                 )
             return loss, (ovf, n_int, vis)
 
-        losses, (ovf, n_int, vis) = jax.vmap(one_view)(cameras, targets)
+        # Unrolled over the per-chip view batch, not vmapped -- vmap makes
+        # the binning/backward sorts batched (B, M) sorts, 5-7x slower per
+        # element (PROFILE.md round-4 training ledger; same fix as the
+        # single-device step in train/loop.py).
+        outs = [
+            one_view(jax.tree.map(lambda x: x[i], cameras), targets[i])
+            for i in range(targets.shape[0])
+        ]
+        losses = jnp.stack([o[0] for o in outs])
+        ovf = jnp.stack([o[1][0] for o in outs])
+        n_int = jnp.stack([o[1][1] for o in outs])
+        vis = jnp.stack([o[1][2] for o in outs])
         return jnp.mean(losses), (
             jnp.any(ovf), jnp.max(n_int), jnp.any(vis, axis=0)
         )

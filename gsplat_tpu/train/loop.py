@@ -80,7 +80,19 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
                 jax.lax.stop_gradient(proj.counts > 0),
             )
 
-        losses, ovf, n_int, vis = jax.vmap(one)(cameras, targets)
+        # UNROLLED over the (tiny) view batch, NOT vmapped: vmap turns the
+        # two dominant sorts (binning key sort, gather-backward sort) into
+        # batched (B, M) sorts, which XLA lowers 5-7x slower per element
+        # than the unbatched form -- measured 354 ms of a 522 ms protocol
+        # step (PROFILE.md round-4 training ledger). Unrolling keeps each
+        # view's sorts at the bench's ~0.9 ns/elem-op.
+        outs = [
+            one(jax.tree.map(lambda x: x[i], cameras), targets[i])
+            for i in range(targets.shape[0])
+        ]
+        losses, ovf, n_int, vis = (
+            jnp.stack([o[j] for o in outs]) for j in range(4)
+        )
         return jnp.mean(losses), {
             "overflow": jnp.any(ovf),
             "num_intersections": jnp.max(n_int),

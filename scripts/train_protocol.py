@@ -332,6 +332,9 @@ def main():
             indent=1,
         )
 
+    from gsplat_tpu.train.loop import fit
+    from gsplat_tpu.utils.image import write_png
+
     b = build(args)
     init, cameras, targets, cfg = (
         b["init"], b["cameras"], b["targets"], b["cfg"]

@@ -156,8 +156,8 @@ class RenderConfig:
     # biggest per-element cost of the frame, the slot-order feature gather,
     # moves 5/9 the elements. Quantizes the forward render (~0.4% alpha
     # noise); gradients are straight-through onto the f32 features.
-    # Unsupported in the Gaussian-sharded path (fragment exchange reads raw
-    # feature rows).
+    # Supported on every path; on the Gaussian-sharded one the packed rows
+    # double as the fragment-exchange wire format (ops/stream16.py).
     stream_format: str = "f32"
     # Explicit packed16 quantization ranges (lox, sx, loy, sy) overriding the
     # ones derived from width/height. Set by parallel/sharding.local_tile_cfg

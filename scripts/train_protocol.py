@@ -108,6 +108,9 @@ def parse_args(argv=None):
                     "(diagnostics: short runs move the reset into the "
                     "failure window)")
     ap.add_argument("--checkpoint-every", type=int, default=None)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint path to resume from (fresh --out-dir; "
+                    "the original run's CSV stays in its own directory)")
     ap.add_argument("--trace-dir", default=None,
                     help="jax.profiler trace of steps [trace-at, trace-at+20)")
     ap.add_argument("--trace-at", type=int, default=120)
@@ -370,6 +373,7 @@ def main():
         eval_fn=eval_fn,
         metrics_csv=os.path.join(args.out_dir, "metrics.csv"),
         checkpoint_every=args.checkpoint_every or args.steps // 2,
+        resume=args.resume,
         checkpoint_dir=os.path.join(args.out_dir, "ckpt"),
         trace_dir=args.trace_dir,
         trace_steps=(

@@ -37,6 +37,7 @@ def main():
                     choices=["doubling", "pallas"])
     ap.add_argument("--stream-format", default=None,
                     choices=["f32", "packed16"])
+    ap.add_argument("--slot-gather", default=None, choices=["i32", "c64"])
     ap.add_argument("--matmul-precision", default=None,
                     choices=["default", "high", "highest"])
     ap.add_argument("--kmax", type=int, default=None,
@@ -155,6 +156,8 @@ def main():
         kwargs["segment_sum"] = args.segment_sum
     if args.stream_format:
         kwargs["stream_format"] = args.stream_format
+    if args.slot_gather:
+        kwargs["slot_gather"] = args.slot_gather
     if args.matmul_precision:
         kwargs["matmul_precision"] = args.matmul_precision
     if args.kmax:

@@ -165,6 +165,12 @@ class RenderConfig:
     # stream with the GLOBAL image extent the features were quantized
     # against -- means are global pixel coordinates on every path.
     quant_ranges: tuple | None = None
+    # Slot-gather element width for the packed16 stream. XLA TPU gathers
+    # pay per ELEMENT, so pairing the 5 int32 rows into 3 complex64 rows
+    # (lax.complex of bitcast halves; one imaginary half unused) moves 3/5
+    # the elements through the frame's largest single op. 'i32' = one take
+    # per-row layout (exact same bits, reference layout).
+    slot_gather: str = "i32"
 
     # ---- derived (static) ----
     @property
@@ -222,6 +228,8 @@ class RenderConfig:
             )
         if self.stream_format not in ("f32", "packed16"):
             raise ValueError(f"unknown stream_format {self.stream_format!r}")
+        if self.slot_gather not in ("i32", "c64"):
+            raise ValueError(f"unknown slot_gather {self.slot_gather!r}")
         if self.fragment_format not in ("f32", "bf16"):
             raise ValueError(
                 f"unknown fragment_format {self.fragment_format!r}"

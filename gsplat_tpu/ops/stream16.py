@@ -119,6 +119,19 @@ def _gather_packed(feats, sorted_gid, cfg):
     # zero packed column unpacks to zero opacity, so invalid slots cannot
     # contribute.
     packed_pad = jnp.pad(packed, ((0, 0), (0, 1)))
+    if cfg.slot_gather == "c64":
+        # Pair the 5 int32 rows (+1 zero row) into 3 complex64 rows: the
+        # gather pays per element on TPU, so this moves 3/5 the elements.
+        # Bit-exact: complex64 is two f32 lanes; the bitcast round-trip
+        # preserves every payload bit (no arithmetic touches the values).
+        f = jax.lax.bitcast_convert_type(
+            jnp.pad(packed_pad, ((0, 1), (0, 0))), jnp.float32
+        )
+        c = jax.lax.complex(f[0::2], f[1::2])              # (3, N+1)
+        s = jnp.take(c, g, axis=1, mode="clip")            # (3, max_I)
+        re = jax.lax.bitcast_convert_type(jnp.real(s), jnp.int32)
+        im = jax.lax.bitcast_convert_type(jnp.imag(s), jnp.int32)
+        return jnp.stack([re, im], axis=1).reshape(6, -1)[:5]
     return jnp.take(packed_pad, g, axis=1, mode="clip")
 
 

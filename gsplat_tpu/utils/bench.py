@@ -48,6 +48,7 @@ def run_bench(
     stream_format: str | None = None,
     matmul_precision: str | None = None,
     fragment_format: str | None = None,
+    slot_gather: str | None = None,
 ) -> dict:
     """sharded_tiles=N benches the tile-sharded distributed path on an
     N-device 'tiles' mesh (x data_shards-way data parallelism): the full
@@ -73,6 +74,8 @@ def run_bench(
         extra["matmul_precision"] = matmul_precision
     if fragment_format is not None:
         extra["fragment_format"] = fragment_format
+    if slot_gather is not None:
+        extra["slot_gather"] = slot_gather
     cfg = RenderConfig(
         width=width,
         height=height,

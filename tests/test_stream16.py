@@ -95,3 +95,36 @@ def test_packed16_with_packed_grad_emission():
         assert float(np.abs(a - b).max()) <= 0.03 * scale, (
             float(np.abs(a - b).max()) / scale
         )
+
+
+def test_slot_gather_c64_bit_exact():
+    """slot_gather='c64' (the 5 int32 rows paired into 3 complex64 rows for
+    the gather) must be BIT-exact vs the per-row i32 takes -- the pairing is
+    pure bitcast, no arithmetic touches the payload."""
+    import dataclasses
+
+    import numpy as np
+
+    from gsplat_tpu import Camera, RenderConfig, random_scene, render
+
+    cfg = RenderConfig(
+        width=64, height=64, tile_size=8, max_intersections=1 << 14,
+        max_tiles_per_gaussian=64, block_size=8, max_per_tile=256,
+        binning="tiered", tier_spec=((4, 0), (8, 2), (16, 8), (64, 64)),
+        stream_format="packed16",
+    )
+    scene = random_scene(jax.random.key(11), 400, sh_degree=2)
+    cam = Camera.default(cfg.width, cfg.height)
+    ref = render(scene, cam, cfg)
+    out = render(scene, cam, dataclasses.replace(cfg, slot_gather="c64"))
+    np.testing.assert_array_equal(np.asarray(ref.image), np.asarray(out.image))
+
+    # Gradients identical too (same custom_vjp, same gathered bits).
+    from gsplat_tpu.render.pipeline import render_loss
+
+    t = jnp.zeros((64, 64, 3))
+    g1 = jax.grad(lambda s: render_loss(s, cam, t, cfg))(scene)
+    g2 = jax.grad(lambda s: render_loss(
+        s, cam, t, dataclasses.replace(cfg, slot_gather="c64")))(scene)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

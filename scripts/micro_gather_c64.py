@@ -15,7 +15,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_gsplat")
 
 N, I = 1_000_001, 4_100_000
 key = jax.random.key(0)
-tab5 = jax.random.randint(key, (5, N), 0, 1 << 31, dtype=jnp.int32)
+tab5 = jax.random.randint(key, (5, N), 0, (1 << 31) - 1, dtype=jnp.int32)
 idx = jax.random.randint(jax.random.fold_in(key, 1), (I,), 0, N, dtype=jnp.int32)
 
 def timeit(fn, *a, iters=20):

@@ -15,8 +15,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_gsplat")
 M = 9_557_312 // 2 * 2
 B = 2
 key = jax.random.key(0)
-k1 = jax.random.randint(key, (B, M), 0, 1 << 31, dtype=jnp.int32).astype(jnp.uint32)
-v1 = jax.random.randint(jax.random.fold_in(key, 1), (B, M), 0, 1 << 31, dtype=jnp.int32)
+k1 = jax.random.randint(key, (B, M), 0, (1 << 31) - 1, dtype=jnp.int32).astype(jnp.uint32)
+v1 = jax.random.randint(jax.random.fold_in(key, 1), (B, M), 0, (1 << 31) - 1, dtype=jnp.int32)
 
 def timeit(fn, *a, iters=10):
     out = jax.block_until_ready(fn(*a)); t0 = time.time()
@@ -52,8 +52,8 @@ for name, fn in [("single (M,) x1", sort_single), ("batched (B,M)", sort_batched
 
 # 4-operand variant (the backward gather sort shape)
 M2 = 4_714_496
-k2 = jax.random.randint(key, (B, M2), 0, 1 << 31, dtype=jnp.int32)
-vs = [jax.random.randint(jax.random.fold_in(key, i), (B, M2), 0, 1 << 31, dtype=jnp.int32) for i in range(3)]
+k2 = jax.random.randint(key, (B, M2), 0, (1 << 31) - 1, dtype=jnp.int32)
+vs = [jax.random.randint(jax.random.fold_in(key, i), (B, M2), 0, (1 << 31) - 1, dtype=jnp.int32) for i in range(3)]
 
 @jax.jit
 def sort4_batched(k, a, b, c):

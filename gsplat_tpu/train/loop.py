@@ -225,6 +225,7 @@ def fit(
     mesh=None,
     data_axis: str = "data",
     tile_axis: str = "tiles",
+    retighten_capacity: float = 0.0,
 ):
     """Returns (trained scene, metrics list).
 
@@ -261,6 +262,18 @@ def fit(
     opacity_reset_every > 0 clamps opacities below 0.01 every that many
     steps (and zeroes the opacity Adam moments), letting the next prune
     round cull floaters -- Kerbl section 5.2's periodic opacity reset.
+
+    retighten_capacity > 0 enables the STAGED-CAPACITY schedule: once
+    densification ends (step == densify_until), the train step is re-jitted
+    with cfg.max_intersections tightened to retighten_capacity x the peak
+    stream demand measured so far (the backward sort + gradient readout pay
+    for CAPACITY, not demand -- a 2.5x sizing margin costs ~2x on ~60% of
+    the step, PROFILE.md round-4 training ledger; the margin is only needed
+    while densification still grows the stream). 1.3 is a good value. If a
+    later step overflows the tightened capacity, the step is automatically
+    re-jitted back at the original capacity (one warn, no abort) -- the
+    safety net that keeps overflow_policy='raise' runs alive. Re-jit cost
+    is one extra compile, amortized by the persistent compile cache.
 
     overflow_policy: what to do when the intersection stream / tier pools
     saturate (which silently truncates gradients):
@@ -315,18 +328,30 @@ def fit(
             ((0, 0), (0, ph - targets.shape[1]), (0, pw - targets.shape[2]),
              (0, 0)),
         )
-        sharded_step = make_sharded_train_step(
-            cfg, mesh, optimizer, ssim_weight,
-            data_axis=data_axis, tile_axis=tile_axis,
-        )
 
-        def step_fn(state, cams_b, targets_b, active_sh=None):
-            cams_b, targets_b = shard_batch(
-                cams_b, targets_b, mesh, data_axis, tile_axis
+    def build_step(c: RenderConfig):
+        """Train step under config c -- rebuilt by the staged-capacity
+        schedule (retighten_capacity) with a different max_intersections."""
+        if mesh is not None:
+            sharded_step = make_sharded_train_step(
+                c, mesh, optimizer, ssim_weight,
+                data_axis=data_axis, tile_axis=tile_axis,
             )
-            return sharded_step(state, cams_b, targets_b, active_sh)
-    else:
-        step_fn = make_train_step(cfg, optimizer, ssim_weight)
+
+            def step_fn(state, cams_b, targets_b, active_sh=None):
+                cams_b, targets_b = shard_batch(
+                    cams_b, targets_b, mesh, data_axis, tile_axis
+                )
+                return sharded_step(state, cams_b, targets_b, active_sh)
+
+            return step_fn
+        return make_train_step(c, optimizer, ssim_weight)
+
+    step_fn = build_step(cfg)
+    # Staged-capacity state: 'full' -> (tighten at densify_until) ->
+    # 'tight' -> (re-grow on overflow) -> 'regrown' (terminal).
+    capacity_stage = "full"
+    tight_cfg: RenderConfig | None = None
 
     num_views = targets.shape[0]
     rng = np.random.default_rng(seed)
@@ -339,10 +364,31 @@ def fit(
     grads_leaf_ok = None  # (L,) accumulated per-leaf finite flags
 
     def check_overflow(at_step):
-        nonlocal ovf_any, int_max
+        nonlocal ovf_any, int_max, capacity_stage, step_fn
         if overflow_policy == "ignore" or not bool(ovf_any):
             return
         demand = int(int_max)
+        if (
+            capacity_stage == "tight"
+            and tight_cfg is not None
+            and demand > tight_cfg.max_intersections
+        ):
+            # The tightened capacity (not the sized original) overflowed:
+            # re-grow instead of aborting -- the safety net that keeps
+            # overflow_policy='raise' runs alive under the staged-capacity
+            # schedule. Gradients of <= log_every steps were truncated
+            # (same exposure as overflow_policy='warn').
+            print(
+                f"WARNING: staged capacity {tight_cfg.max_intersections} "
+                f"overflowed at step <= {at_step} (demand {demand}); "
+                f"re-jitting back at the original "
+                f"{cfg.max_intersections}"
+            )
+            step_fn = build_step(cfg)
+            capacity_stage = "regrown"
+            ovf_any = jnp.zeros((), bool)
+            int_max = jnp.zeros((), jnp.int32)
+            return
         if demand > cfg.max_intersections:
             cause = (
                 f"measured demand {demand} > capacity "
@@ -427,6 +473,16 @@ def fit(
             out.append(view_queue.pop())
         return np.asarray(out)
 
+    # Resume fast-forward: replay the draws steps [0, start_step) consumed
+    # so a resumed run samples the SAME view path as an uninterrupted one
+    # (cheap + deterministic; without it the queue restarts at the epoch
+    # head and views near the checkpoint repeat/starve). The densification
+    # accumulator is NOT checkpointed -- the first densify window after a
+    # resume averages over fewer steps (partial window), which only
+    # advances the trigger by <= densify_every steps once.
+    for _ in range(start_step):
+        next_views(batch)
+
     for it in range(start_step, steps):
         # Optional profiler window (trace_dir + trace_steps=(start, stop)):
         # captures the real training loop -- densify rounds, evals, host
@@ -455,9 +511,9 @@ def fit(
             else grads_leaf_ok & aux["grads_finite_leaves"]
         )
         int_max = jnp.maximum(int_max, aux["num_intersections"])
+        until = densify_until if densify_until is not None else steps // 2
         if densify_every:
             dstate = accumulate_grads(dstate, screen_grads, visible)
-            until = densify_until if densify_until is not None else steps // 2
             if (
                 (it + 1) % densify_every == 0
                 and densify_from <= it + 1 <= until
@@ -475,6 +531,39 @@ def fit(
                 )
                 print({k: int(v) if k != "saturated" else bool(v)
                        for k, v in dstats.items()} | {"densify_at": it + 1})
+        if (
+            retighten_capacity
+            and capacity_stage == "full"
+            and it + 1 >= until
+            # Peak demand is a max over sampled views: wait one full epoch
+            # past the segment start so every view contributed (matters on
+            # resume, where the accumulator restarts empty).
+            and it + 1 >= start_step + -(-num_views // batch)
+        ):
+            # Densification is over: the stream stops growing, so the
+            # sizing margin (2.5x demand for a 5k-step protocol run) is
+            # pure tax on the capacity-proportional backward stages. Re-jit
+            # at retighten_capacity x the measured peak demand (rounded up
+            # to the segsum block multiple).
+            demand_now = int(int_max)
+            new_max = int(demand_now * retighten_capacity)
+            new_max += (-new_max) % 2048
+            if 0 < new_max < cfg.max_intersections:
+                import dataclasses
+
+                tight_cfg = dataclasses.replace(
+                    cfg, max_intersections=new_max
+                )
+                print(
+                    f"staged capacity: tightening max_intersections "
+                    f"{cfg.max_intersections} -> {new_max} at step "
+                    f"{it + 1} ({retighten_capacity}x peak demand "
+                    f"{demand_now}; re-jit follows)"
+                )
+                step_fn = build_step(tight_cfg)
+                capacity_stage = "tight"
+            else:
+                capacity_stage = "regrown"  # nothing to gain; don't retry
         if opacity_reset_every and (it + 1) % opacity_reset_every == 0 \
                 and it + 1 < steps:
             state = TrainState(

@@ -36,6 +36,21 @@ def save_checkpoint(path: str, state) -> None:
         raise
 
 
+def checkpoint_step(path: str) -> int:
+    """Step counter stored in a TrainState checkpoint WITHOUT materializing
+    the template. TrainState is (scene, opt_state, step) in field order, so
+    the step scalar is the last leaf; asserts it looks like one."""
+    with np.load(path) as data:
+        n = sum(1 for k in data.files if k.startswith("leaf_"))
+        arr = data[f"leaf_{n - 1}"]
+        if arr.shape != () or not np.issubdtype(arr.dtype, np.integer):
+            raise ValueError(
+                f"last checkpoint leaf is {arr.dtype}{arr.shape}, not a "
+                "scalar int step counter -- not a TrainState checkpoint?"
+            )
+        return int(arr)
+
+
 def load_checkpoint(path: str, like):
     """Restore into the structure of `like` (shape/dtype template)."""
     with np.load(path) as data:

@@ -56,3 +56,14 @@ for name, fn, elems in [
 ]:
     ms = timeit(fn, tab5, idx)
     print(f"{name:24s}: {ms:8.2f} ms  ({ms*1e6/elems:.2f} ns/elem)", flush=True)
+
+# On-chip bit-exactness with the REAL packed16 bit patterns (ADVICE r4):
+# packed row 4 is (opacity|0) -- a zero-high-half f32 DENORMAL pattern for
+# every alive slot. If the TPU gather (or the complex() construction)
+# flushes denormals, c64 silently zeroes all opacities.
+den = tab5.at[4].set(tab5[4] & 0x0000FFFF)          # force denormal row
+den = den.at[3].set((den[3] & jnp.int32(-65536)) | 1)  # tiny low bits too
+a2 = take5_i32(den, idx); b2 = take3_c64(den, idx)
+ok = np.array_equal(np.asarray(a2), np.asarray(b2[:5]))
+nz = int(np.count_nonzero(np.asarray(a2[4])))
+print(f"denormal-row bit-exact: {ok} (row4 nonzero slots: {nz}/{I})", flush=True)

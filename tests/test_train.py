@@ -126,3 +126,51 @@ def test_ssim_no_denominator_pole():
     assert bool(jnp.all(jnp.isfinite(g)))
     # Identity still exact.
     assert abs(float(ssim(a / 1e3, a / 1e3)) - 1.0) < 1e-5
+
+
+def test_staged_capacity_tightens_and_regrows(capsys):
+    """retighten_capacity: after densify_until the step re-jits at a
+    tightened max_intersections sized from measured peak demand; the
+    run completes with the same final quality surface (finite loss,
+    no overflow abort) under overflow_policy='raise'."""
+    key = jax.random.key(0)
+    target_scene = random_scene(key, 40, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = render(target_scene, cam, CFG).image
+    cameras = jax.tree.map(lambda x: x[None], cam)
+    targets = target[None]
+    init = target_scene.replace(
+        opacity_logits=target_scene.opacity_logits - 0.5,
+    )
+    trained, metrics = fit(
+        init, cameras, targets, CFG, steps=12, lr=1e-2, ssim_weight=0.0,
+        log_every=4, overflow_policy="raise", densify_until=6,
+        retighten_capacity=1.3,
+    )
+    out = capsys.readouterr().out
+    assert "staged capacity: tightening max_intersections" in out
+    assert np.isfinite(metrics[-1]["loss"])
+
+
+def test_staged_capacity_no_tighten_when_demand_high(capsys):
+    """When capacity is already tight (new_max >= max_intersections), the
+    schedule is a no-op (no re-jit, no message)."""
+    key = jax.random.key(1)
+    target_scene = random_scene(key, 40, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = render(target_scene, cam, CFG).image
+    cameras = jax.tree.map(lambda x: x[None], cam)
+    targets = target[None]
+    import dataclasses
+
+    out0 = render(target_scene, cam, CFG)
+    snug = dataclasses.replace(
+        CFG, max_intersections=int(out0.num_intersections) + 64
+    )
+    trained, metrics = fit(
+        target_scene, cameras, targets, snug, steps=8, lr=1e-3,
+        ssim_weight=0.0, log_every=4, overflow_policy="warn",
+        densify_until=2, retighten_capacity=1.3,
+    )
+    out = capsys.readouterr().out
+    assert "staged capacity: tightening" not in out

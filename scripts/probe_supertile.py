@@ -47,8 +47,11 @@ cfg_fine = RenderConfig(
 )
 # Supertile pre-pass grid: 4x4 tiles -> one test per 128px supertile,
 # K_max/16 lanes. Same kernel, same per-lane math, coarser geometry.
+# (pallas_block_size shrunk only to satisfy the BLEND kernel's VMEM
+# validation -- this probe never runs the blend.)
 cfg_coarse = dataclasses.replace(
     cfg_fine, tile_size=128, max_tiles_per_gaussian=8,
+    pallas_block_size=8,
 )
 
 scene = jax.device_put(realistic_scene(jax.random.key(0), 1_000_000))

@@ -135,3 +135,22 @@ def test_jumbo_config_validation():
         RenderConfig(**BASE, binning="tiered", max_tiles_per_gaussian=8,
                      max_tiles_jumbo=64,
                      jumbo_tier_spec=((64, 8), (32, 4)))
+
+
+def test_jumbo_tile_sharded_matches_single():
+    """Jumbo tiers under tile sharding: per-shard jumbo enumeration with
+    shard-local masking + gcounts equals the single-device render."""
+    from gsplat_tpu.parallel.sharding import make_mesh, render_tile_sharded
+
+    mesh = make_mesh({"tiles": 4})
+    scene = big_splat_scene()
+    cam = Camera.default(64, 64)
+    cfg = jumbo_cfg()
+    img, trans, ovf = jax.jit(
+        lambda s, c: render_tile_sharded(s, c, cfg, mesh)
+    )(scene, cam)
+    ref = render(scene, cam, cfg)
+    assert not bool(ovf)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(ref.image), rtol=1e-4, atol=1e-5
+    )

@@ -31,7 +31,7 @@ from gsplat_tpu.models.gaussians import random_scene
 # Config-5 shape: bicycle-class capture, 6M splats, 4K, v5e-16.
 N_TOTAL, D = 6_000_000, 16
 N_SHARD = N_TOTAL // D
-W, H = 3840, 2160
+W, H = 3840, 2048  # 4K-class width; tile rows 64 = divisible by 16 shards
 # Per-dest fragment capacity: measured-intersection scaling -- the 1080p/1M
 # bench carries 3.9M live; 4K is 4x pixels and 6x splats but per-shard
 # sources 1/16: cap per (src, dest) pair sized so d*cap ~ 2x the bench
@@ -91,8 +91,9 @@ def shard_proxy_aot():
     """Single-device compile at per-shard shapes; collective wire buffers
     added analytically."""
     from gsplat_tpu.parallel.train_step import (
-        init_train_state, make_optimizer, make_train_step,
+        init_train_state, make_optimizer,
     )
+    from gsplat_tpu.train.loop import make_train_step
     from gsplat_tpu.ops.camera import Camera
 
     scene = random_scene(jax.random.key(0), N_SHARD, sh_degree=3)

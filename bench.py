@@ -138,12 +138,22 @@ def main():
         # the 1080p ladder carries 8.6M candidate lanes for 2.0M live
         # intersections here; this ladder carries 4.75M and K_max 32 halves
         # the (N, K) cull/compact grids. 64.2 -> 40.7 ms measured (24.5
-        # fps; PROFILE.md has the per-op remainder).
+        # fps; PROFILE.md has the per-op remainder). Jumbo tiers ride along
+        # since round 5: the viewer exists to view CAPTURES
+        # (reference: src/ply.ts:140-198), and capture statistics at 800^2
+        # put 8.2k splats past K_max 32 (up to the whole 625-tile grid) --
+        # ladder sized at >=1.35x the measured area membership
+        # (>32: 8234, >64: 3547, >128: 1264, >256: 325, >512: 34).
         kwargs.update(
             width=800, height=800, mode="fwd", iters=30,
             max_intersections=2_330_000,
-            tier_spec=((4, 0), (8, 6), (16, 100), (32, 2000)),
+            tier_spec=((4, 0), (8, 6), (16, 35), (32, 135)),
             max_tiles_per_gaussian=32,
+            max_tiles_jumbo=1024,
+            jumbo_tier_spec=(
+                (64, 11264), (128, 5120), (256, 1792), (512, 512),
+                (1024, 64),
+            ),
         )
     if args.mode:
         kwargs["mode"] = args.mode

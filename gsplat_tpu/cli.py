@@ -24,21 +24,31 @@ def _build_cfg(args, width: int, height: int):
     from gsplat_tpu.config import RenderConfig
 
     if getattr(args, "viewer_preset", False):
-        # The measured interactive-viewer configuration (PROFILE.md round-3
-        # viewer ledger: 40.7 ms / 24.5 fps at 800^2 with 1M Gaussians):
-        # tile 32, viewer-sized tier ladder, K_max 32, packed16 stream,
-        # 3-pass bf16 kernel matmuls. The reference's defaults are its own
-        # interactive loop (index.html:19-24); without this preset `cli
-        # render` uses the portable jnp/sort path, which is 10x off.
+        # The measured interactive-viewer configuration (PROFILE.md
+        # round-5 viewer section: 45.8 ms random / 43.2 ms realistic at
+        # 800^2 with 1M Gaussians, overflow-free on BOTH): tile 32,
+        # dual-distribution tier ladder, K_max 32 + jumbo tiers to 1024,
+        # packed16 stream, 3-pass bf16 kernel matmuls. The reference's
+        # defaults are its own interactive loop (index.html:19-24);
+        # without this preset `cli render` uses the portable jnp/sort
+        # path, which is 10x off.
         return RenderConfig(
             width=width, height=height, tile_size=32,
             max_intersections=args.max_intersections
             if args.max_intersections != (1 << 22) else 2_330_000,
             max_tiles_per_gaussian=32, block_size=32, max_per_tile=8192,
             sh_degree=args.sh_degree, impl="pallas", binning="tiered",
-            tier_spec=((4, 0), (8, 6), (16, 100), (32, 2000)),
+            tier_spec=((4, 0), (8, 6), (16, 35), (32, 135)),
             pallas_block_size=128, stream_format="packed16",
             matmul_precision="high",
+            # Captures put thousands of splats past K_max 32 at 800^2
+            # (bench.py viewer comment has the measured tail); jumbo tiers
+            # render them in full instead of truncating.
+            max_tiles_jumbo=1024,
+            jumbo_tier_spec=(
+                (64, 11264), (128, 5120), (256, 1792), (512, 512),
+                (1024, 64),
+            ),
         )
     return RenderConfig(
         width=width,

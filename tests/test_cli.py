@@ -121,3 +121,30 @@ def test_sh_band_mask():
 def test_cli_bad_subcommand():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_bucket_rounding():
+    from gsplat_tpu.cli import _bucket
+
+    assert _bucket(1) == 1
+    assert _bucket(9) == 10
+    assert _bucket(123_456) == 150_000
+    assert _bucket(600_001) == 800_000
+    assert _bucket(1_000_000) == 1_000_000
+
+
+def test_viewer_preset_cfg():
+    import argparse
+
+    from gsplat_tpu.cli import _build_cfg
+
+    ns = argparse.Namespace(viewer_preset=True, max_intersections=1 << 22,
+                            sh_degree=3)
+    cfg = _build_cfg(ns, 800, 800)
+    assert cfg.impl == "pallas" and cfg.binning == "tiered"
+    assert cfg.max_intersections == 2_330_000
+    assert cfg.max_tiles_jumbo == 1024  # capture-capable since round 5
+    # explicit capacity override wins
+    ns2 = argparse.Namespace(viewer_preset=True, max_intersections=123,
+                             sh_degree=3)
+    assert _build_cfg(ns2, 800, 800).max_intersections == 123

@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--segment-sum", default=None,
                     choices=["doubling", "pallas"])
     ap.add_argument("--stream-format", default=None,
-                    choices=["f32", "packed16"])
+                    choices=["f32", "packed16", "packed4"])
     ap.add_argument("--slot-gather", default=None, choices=["i32", "c64"])
     ap.add_argument("--matmul-precision", default=None,
                     choices=["default", "high", "highest"])
@@ -103,11 +103,14 @@ def main():
             gather_backward="c64" if args.exact_grads else "bf16",
             grad_readout="f32" if args.exact_grads else "bf16",
             segment_sum="pallas",
-            # Packed16 forward stream by default: fit-quality parity with
-            # f32 measured on the 800-step demo (24.58 vs 24.71 dB;
-            # PROFILE.md), and the raster backward emits bf16-packed slot
-            # grads in-kernel. --exact-grads restores f32 end-to-end.
-            stream_format="f32" if args.exact_grads else "packed16",
+            # Packed 4-row forward stream by default (round 5): one fewer
+            # row than packed16 through the frame's largest per-element op
+            # (colors as 11/11/10-bit fixed point, finer than a display
+            # quantum; 134.6 -> 131.4 ms measured) at fit-quality parity
+            # (800-step demo: packed4 31.46 dB vs packed16 31.34 vs the
+            # historical f32 gate; PROFILE.md). --exact-grads restores
+            # f32 end-to-end.
+            stream_format="f32" if args.exact_grads else "packed4",
             # Emulated 3-pass bf16 matmuls (2-pass for the triangular
             # cumsum): 138.7 -> 134.4 ms at this shape, image error vs
             # 'highest' <= 2e-5, grad error <= 0.3% (within the packed

@@ -27,7 +27,7 @@ def main():
                     help="the mixed-precision production path: bf16-packed "
                     "gather backward + Pallas segsum (bench.py default)")
     ap.add_argument("--stream-format", default="f32",
-                    choices=["f32", "packed16"])
+                    choices=["f32", "packed16", "packed4"])
     args = ap.parse_args()
 
     from gsplat_tpu import Camera, RenderConfig, random_scene, render

@@ -39,7 +39,7 @@ def _build_cfg(args, width: int, height: int):
             max_tiles_per_gaussian=32, block_size=32, max_per_tile=8192,
             sh_degree=args.sh_degree, impl="pallas", binning="tiered",
             tier_spec=((4, 0), (8, 6), (16, 35), (32, 135)),
-            pallas_block_size=128, stream_format="packed16",
+            pallas_block_size=128, stream_format="packed4",
             matmul_precision="high",
             # Captures put thousands of splats past K_max 32 at 800^2
             # (bench.py viewer comment has the measured tail); jumbo tiers
@@ -104,7 +104,7 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--segment-sum", default="doubling",
                    choices=["doubling", "pallas"])
     p.add_argument("--stream-format", default="f32",
-                   choices=["f32", "packed16"],
+                   choices=["f32", "packed16", "packed4"],
                    help="packed16: 5 int32 rows instead of 9 f32 (fastest; "
                    "quantized forward, straight-through grads)")
 

@@ -251,7 +251,7 @@ class RenderConfig:
             raise ValueError(
                 f"unknown matmul_precision {self.matmul_precision!r}"
             )
-        if self.stream_format not in ("f32", "packed16"):
+        if self.stream_format not in ("f32", "packed16", "packed4"):
             raise ValueError(f"unknown stream_format {self.stream_format!r}")
         if self.slot_gather not in ("i32", "c64"):
             raise ValueError(f"unknown slot_gather {self.slot_gather!r}")
@@ -259,7 +259,7 @@ class RenderConfig:
             raise ValueError(
                 f"unknown fragment_format {self.fragment_format!r}"
             )
-        if self.stream_format == "packed16" and self.binning == "scatter":
+        if self.stream_format in ("packed16", "packed4") and self.binning == "scatter":
             raise ValueError(
                 "stream_format='packed16' needs the gidk stream for its "
                 "fused backward; binning='scatter' does not produce one"
@@ -298,7 +298,13 @@ class RenderConfig:
             raise ValueError(
                 "quant_ranges must be a (lox, sx, loy, sy) tuple"
             )
-        if self.stream_format == "packed16" and max(
+        if self.stream_format == "packed4" and self.slot_gather == "c64":
+            raise ValueError(
+                "slot_gather='c64' pairs exactly 5 packed rows; the "
+                "4-row 'packed4' stream has nothing to pair (and c64 "
+                "gathers measured 1.76x slower anyway)"
+            )
+        if self.stream_format in ("packed16", "packed4") and max(
             self.width, self.height
         ) > 8192:
             raise ValueError(

@@ -49,13 +49,14 @@ from gsplat_tpu.ops.binning import NUM_FEATURES, PADDED_FEATURES
 def _feat_rows(cfg: RenderConfig) -> int:
     """Sublane rows of the (padded) feature stream: 8 for the packed16
     int32 stream (5 payload rows), PADDED_FEATURES for f32."""
-    return 8 if cfg.stream_format == "packed16" else PADDED_FEATURES
+    return (8 if cfg.stream_format in ("packed16", "packed4")
+            else PADDED_FEATURES)
 
 
 def _feat_block(feat, cfg: RenderConfig):
     """Unpack a VMEM feature block to NUM_FEATURES f32 rows when the
     stream is packed16 (bit ops + converts only; Mosaic-safe)."""
-    if cfg.stream_format == "packed16":
+    if cfg.stream_format in ("packed16", "packed4"):
         from gsplat_tpu.ops.stream16 import unpack_block
 
         return unpack_block(feat, cfg)
@@ -70,7 +71,8 @@ def _pack_grads(cfg: RenderConfig) -> bool:
     bwd live inside ONE fused custom_vjp (ops/stream16.py) -- the plain
     path's VJP boundary requires f32 cotangents."""
     return (
-        cfg.stream_format == "packed16" and cfg.gather_backward == "bf16"
+        cfg.stream_format in ("packed16", "packed4")
+        and cfg.gather_backward == "bf16"
     )
 
 

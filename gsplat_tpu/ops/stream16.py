@@ -73,8 +73,23 @@ def quant_params(cfg: RenderConfig) -> tuple[float, float, float, float]:
     return lox, sx, loy, sy
 
 
+# Color fixed-point range of the 'packed4' stream: SH colors are clamped
+# >= 0 and practically < 4 (the +0.5 offset plus bounded SH response);
+# 11/11/10 bits over [0, 4) give steps of 4/2047 ~ 0.002 (r, g) and
+# 4/1023 ~ 0.004 (b) -- finer than 8-bit display quantization either way.
+PACKED4_COLOR_RANGE = 4.0
+
+
 def pack_stream(feats: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
-    """(NUM_FEATURES, N) f32 -> (5, N) int32 packed stream."""
+    """(NUM_FEATURES, N) f32 -> packed int32 stream.
+
+    'packed16': 5 rows -- means u16 pair, then bf16 pairs
+                (ca|cb), (cc|r), (g|b), (op|0).
+    'packed4':  4 rows -- means u16 pair, bf16 pairs (ca|cb), (cc|op), and
+                rgb as one u32 of 11/11/10-bit fixed point over
+                [0, PACKED4_COLOR_RANGE). One fewer row through the slot
+                gather -- the frame's largest per-element op -- at color
+                quantization finer than bf16's ~1/256 relative step."""
     lox, sx, loy, sy = quant_params(cfg)
     qx = jnp.clip(
         jnp.round((feats[0] - lox) * sx), 0.0, 65535.0
@@ -83,6 +98,20 @@ def pack_stream(feats: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
         jnp.round((feats[1] - loy) * sy), 0.0, 65535.0
     ).astype(jnp.int32)
     row0 = qx | jax.lax.shift_left(qy, jnp.int32(16))
+    if cfg.stream_format == "packed4":
+        pairs = jax.lax.bitcast_convert_type(
+            _pack_bf16_pairs(feats[jnp.array([2, 3, 4, 8])]), jnp.int32
+        )  # (2, N): (ca|cb), (cc|op)
+        s = PACKED4_COLOR_RANGE
+        qr = jnp.clip(jnp.round(feats[5] * (2047.0 / s)), 0.0, 2047.0)
+        qg = jnp.clip(jnp.round(feats[6] * (2047.0 / s)), 0.0, 2047.0)
+        qb = jnp.clip(jnp.round(feats[7] * (1023.0 / s)), 0.0, 1023.0)
+        row3 = (
+            qr.astype(jnp.int32)
+            | jax.lax.shift_left(qg.astype(jnp.int32), jnp.int32(11))
+            | jax.lax.shift_left(qb.astype(jnp.int32), jnp.int32(22))
+        )
+        return jnp.concatenate([row0[None], pairs, row3[None]], axis=0)
     pairs = jax.lax.bitcast_convert_type(
         _pack_bf16_pairs(feats[2:NUM_FEATURES]), jnp.int32
     )  # (4, N): (ca|cb), (cc|r), (g|b), (op|0)
@@ -90,10 +119,32 @@ def pack_stream(feats: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
 
 
 def unpack_block(feat_i32: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
-    """(>=5, G) int32 packed block -> (NUM_FEATURES, G) f32. Pure jnp on
-    values, Mosaic-safe (bit ops + u32->f32 converts only), so the Pallas
+    """(>=rows, G) int32 packed block -> (NUM_FEATURES, G) f32. Pure jnp on
+    values, Mosaic-safe (bit ops + int32->f32 converts only), so the Pallas
     kernels call it directly on VMEM blocks."""
     lox, sx, loy, sy = quant_params(cfg)
+    if cfg.stream_format == "packed4":
+        u = jax.lax.bitcast_convert_type(feat_i32[:4], jnp.uint32)
+        qx = (u[0:1] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        qy = (u[0:1] >> 16).astype(jnp.int32)
+        gx = qx.astype(jnp.float32) * (1.0 / sx) + lox
+        gy = qy.astype(jnp.float32) * (1.0 / sy) + loy
+        even = jax.lax.bitcast_convert_type(u[1:3] << 16, jnp.float32)
+        odd = jax.lax.bitcast_convert_type(
+            u[1:3] & jnp.uint32(0xFFFF0000), jnp.float32
+        )  # even: ca, cc; odd: cb, op
+        s = PACKED4_COLOR_RANGE
+        qr = (u[3:4] & jnp.uint32(0x7FF)).astype(jnp.int32)
+        qg = ((u[3:4] >> 11) & jnp.uint32(0x7FF)).astype(jnp.int32)
+        qb = ((u[3:4] >> 22) & jnp.uint32(0x3FF)).astype(jnp.int32)
+        r = qr.astype(jnp.float32) * (s / 2047.0)
+        g = qg.astype(jnp.float32) * (s / 2047.0)
+        b = qb.astype(jnp.float32) * (s / 1023.0)
+        # FEAT order: gx, gy, ca, cb, cc, r, g, b, opacity.
+        return jnp.concatenate(
+            [gx, gy, even[0:1], odd[0:1], even[1:2], r, g, b, odd[1:2]],
+            axis=0,
+        )
     u = jax.lax.bitcast_convert_type(feat_i32[:5], jnp.uint32)
     # u32 -> i32 -> f32: Mosaic has no u32->f32 convert; both halves are
     # <= 65535 so the int32 round-trip is exact.

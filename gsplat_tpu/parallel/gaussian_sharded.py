@@ -451,6 +451,12 @@ def _shard_render(scene, camera, cfg: RenderConfig, src_cfg: RenderConfig,
     )
     s_perm, present, ranges, merge_ovf = _merge_order(recv_key, lcfg, align)
     tile_offset = idx * td
+    if cfg.stream_format == "packed4":
+        raise ValueError(
+            "the Gaussian-sharded fragment-exchange wire format is the "
+            "5-row packed16 stream (or f32); use stream_format='packed16' "
+            "on this path"
+        )
     if cfg.stream_format == "packed16":
         # Production fast path: quantize once per shard, exchange 5 int32
         # rows, raster the packed merged stream (fused custom_vjp above).

@@ -95,7 +95,7 @@ def _render_local_tiles(scene, camera, cfg: RenderConfig, lcfg: RenderConfig,
     binned = bin_gaussians(
         proj, cfg, tile_start=tile_start, num_local_tiles=lcfg.num_tiles
     )
-    if cfg.stream_format == "packed16":
+    if cfg.stream_format in ("packed16", "packed4"):
         # Same fused quantize -> gather -> rasterize custom_vjp as the
         # single-device path; lcfg carries the global quant_ranges so the
         # in-kernel unpack agrees with the pack.

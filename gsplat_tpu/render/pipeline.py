@@ -47,7 +47,7 @@ def render(
     proj = project_gaussians(scene, camera, cfg, uv_tap=uv_tap)
     binned = bin_gaussians(proj, cfg)
 
-    if cfg.stream_format == "packed16":
+    if cfg.stream_format in ("packed16", "packed4"):
         # Quantized forward stream: quantize -> gather -> rasterize is one
         # fused custom_vjp (ops/stream16.py) with straight-through f32
         # gradients.

@@ -128,3 +128,68 @@ def test_slot_gather_c64_bit_exact():
         s, cam, t, dataclasses.replace(cfg, slot_gather="c64")))(scene)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+P4 = dataclasses.replace(CFG, stream_format="packed4")
+
+
+def test_packed4_roundtrip():
+    rng = np.random.default_rng(1)
+    n = 500
+    feats = np.zeros((NUM_FEATURES, n), np.float32)
+    feats[0] = rng.uniform(-3.0, 67.0, n)
+    feats[1] = rng.uniform(-3.0, 67.0, n)
+    feats[2:5] = rng.normal(size=(3, n))          # conic: bf16
+    feats[5:8] = rng.uniform(0.0, 2.5, (3, n))    # colors: 11/11/10 fixed
+    feats[8] = rng.uniform(0.0, 1.0, n)           # opacity: bf16
+    packed = pack_stream(jnp.asarray(feats), P4)
+    assert packed.shape == (4, n)
+    out = np.asarray(unpack_block(packed, P4))
+    assert np.abs(out[:2] - feats[:2]).max() < 1.1 * 64 / 65535
+    conic_op = np.concatenate([feats[2:5], feats[8:9]])
+    ref = conic_op.astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.concatenate([out[2:5], out[8:9]]), ref
+    )
+    from gsplat_tpu.ops.stream16 import PACKED4_COLOR_RANGE as S
+
+    assert np.abs(out[5:7] - feats[5:7]).max() <= S / 2047 / 2 + 1e-6
+    assert np.abs(out[7:8] - feats[7:8]).max() <= S / 1023 / 2 + 1e-6
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_packed4_image_close_to_f32(impl):
+    scene = random_scene(jax.random.key(3), 300, sh_degree=2)
+    cam = Camera.default(CFG.width, CFG.height)
+    cfg_f = dataclasses.replace(CFG, impl=impl)
+    cfg_p = dataclasses.replace(P4, impl=impl)
+    a = np.asarray(render(scene, cam, cfg_f).image)
+    b = np.asarray(render(scene, cam, cfg_p).image)
+    # color fixed-point step 0.002 + bf16 conic/opacity noise
+    assert np.abs(a - b).max() < 0.05
+
+
+def test_packed4_gradients_straight_through():
+    scene = random_scene(jax.random.key(4), 200, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    target = jnp.zeros((CFG.height, CFG.width, 3))
+    gp = jax.grad(lambda s: render_loss(s, cam, target, P4))(scene)
+    gf = jax.grad(lambda s: render_loss(s, cam, target, CFG))(scene)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gf)):
+        assert bool(jnp.all(jnp.isfinite(a)))
+        # straight-through on quantized forward: close, not equal
+        denom = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) / denom < 0.2
+
+
+def test_packed4_rejected_on_gaussian_sharded_and_c64():
+    with pytest.raises(ValueError, match="5 packed rows"):
+        dataclasses.replace(P4, slot_gather="c64")
+    from gsplat_tpu.parallel.gaussian_sharded import render_gaussian_sharded
+    from gsplat_tpu.parallel.sharding import make_mesh
+
+    scene = random_scene(jax.random.key(0), 64, sh_degree=1)
+    cam = Camera.default(CFG.width, CFG.height)
+    cfg = dataclasses.replace(P4, binning="packed")
+    with pytest.raises(ValueError, match="packed16"):
+        render_gaussian_sharded(scene, cam, cfg, make_mesh({"gauss": 2}))

@@ -35,6 +35,10 @@ class RenderOutput:
     transmittance: jnp.ndarray       # (H, W) final T (for bg compositing)
     num_intersections: jnp.ndarray   # () int32
     overflow: jnp.ndarray            # () bool -- static capacity exceeded
+    # (N,) int32 post-cull candidates per Gaussian (stop-gradient;
+    # None on binning='scatter'). The staged-capacity schedule reads tier
+    # membership off it to re-size pool budgets mid-training.
+    gauss_counts: jnp.ndarray | None = None
 
 
 def render(
@@ -76,6 +80,7 @@ def render(
         transmittance=trans,
         num_intersections=binned.num_intersections,
         overflow=binned.overflow,
+        gauss_counts=binned.gauss_counts,
     )
 
 

@@ -62,6 +62,19 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
            (the CUDA original's radii > 0 visibility denominator)."""
     from gsplat_tpu.ops.projection import project_gaussians
 
+    # Pool-tier thresholds of the cfg ladder (static): per-step membership
+    # counts ride in aux so the staged-capacity schedule can re-size the
+    # budgets from MEASURED post-cull membership (train/loop.py fit).
+    from gsplat_tpu.ops.binning import _normalize_tier_plan
+
+    tier_klos = tuple(
+        k_lo
+        for k_lo, _, budget in _normalize_tier_plan(
+            cfg.tier_spec, cfg.max_tiles_per_gaussian, 1
+        )
+        if budget is not None
+    ) if cfg.binning == "tiered" else ()
+
     def loss_fn(scene, tap, cameras, targets, active_sh):
         if active_sh is not None:
             scene = scene.replace(
@@ -73,11 +86,20 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
             # Same projection call as inside render (CSE'd by XLA); counts>0
             # is the "touched a tile" visibility the ADC denom wants.
             proj = project_gaussians(scene, camera, cfg, uv_tap=tap)
+            members = (
+                jnp.stack([
+                    jnp.sum(out.gauss_counts > k).astype(jnp.int32)
+                    for k in tier_klos
+                ])
+                if tier_klos and out.gauss_counts is not None
+                else jnp.zeros((len(tier_klos),), jnp.int32)
+            )
             return (
                 rgb_loss(out.image, target, ssim_weight),
                 out.overflow,
                 out.num_intersections,
                 jax.lax.stop_gradient(proj.counts > 0),
+                members,
             )
 
         # UNROLLED over the (tiny) view batch, NOT vmapped: vmap turns the
@@ -90,13 +112,14 @@ def make_train_step(cfg: RenderConfig, optimizer, ssim_weight: float = 0.2):
             one(jax.tree.map(lambda x: x[i], cameras), targets[i])
             for i in range(targets.shape[0])
         ]
-        losses, ovf, n_int, vis = (
-            jnp.stack([o[j] for o in outs]) for j in range(4)
+        losses, ovf, n_int, vis, members = (
+            jnp.stack([o[j] for o in outs]) for j in range(5)
         )
         return jnp.mean(losses), {
             "overflow": jnp.any(ovf),
             "num_intersections": jnp.max(n_int),
             "visible": jnp.any(vis, axis=0),
+            "tier_members": jnp.max(members, axis=0),  # (T,) worst view
         }
 
     @functools.partial(jax.jit, static_argnames=("mask_sh",))
@@ -362,27 +385,25 @@ def fit(
     int_max = jnp.zeros((), jnp.int32)     # no per-step host sync
     grads_ok = jnp.ones((), bool)
     grads_leaf_ok = None  # (L,) accumulated per-leaf finite flags
+    tier_max = None       # (T,) peak pool-tier membership (worst view)
 
     def check_overflow(at_step):
         nonlocal ovf_any, int_max, capacity_stage, step_fn
         if overflow_policy == "ignore" or not bool(ovf_any):
             return
         demand = int(int_max)
-        if (
-            capacity_stage == "tight"
-            and tight_cfg is not None
-            and demand > tight_cfg.max_intersections
-        ):
-            # The tightened capacity (not the sized original) overflowed:
-            # re-grow instead of aborting -- the safety net that keeps
-            # overflow_policy='raise' runs alive under the staged-capacity
-            # schedule. Gradients of <= log_every steps were truncated
-            # (same exposure as overflow_policy='warn').
+        if capacity_stage == "tight" and tight_cfg is not None:
+            # ANY overflow under the tightened config (stream demand OR a
+            # tightened pool budget) re-grows instead of aborting -- the
+            # safety net that keeps overflow_policy='raise' runs alive
+            # under the staged-capacity schedule. Gradients of <=
+            # log_every steps were truncated (same exposure as
+            # overflow_policy='warn').
             print(
-                f"WARNING: staged capacity {tight_cfg.max_intersections} "
-                f"overflowed at step <= {at_step} (demand {demand}); "
-                f"re-jitting back at the original "
-                f"{cfg.max_intersections}"
+                f"WARNING: staged capacity overflowed at step <= {at_step} "
+                f"(stream demand {demand} vs tightened "
+                f"{tight_cfg.max_intersections}; or a tightened pool); "
+                f"re-jitting back at the original sizing"
             )
             step_fn = build_step(cfg)
             capacity_stage = "regrown"
@@ -505,6 +526,9 @@ def fit(
             state, cams_b, targets_b, active_sh
         )
         ovf_any = ovf_any | aux["overflow"]
+        tm = aux.get("tier_members")
+        if tm is not None and tm.shape[0]:
+            tier_max = tm if tier_max is None else jnp.maximum(tier_max, tm)
         grads_ok = grads_ok & aux["grads_finite"]
         grads_leaf_ok = (
             aux["grads_finite_leaves"] if grads_leaf_ok is None
@@ -548,17 +572,55 @@ def fit(
             demand_now = int(int_max)
             new_max = int(demand_now * retighten_capacity)
             new_max += (-new_max) % 2048
-            if 0 < new_max < cfg.max_intersections:
+            # Pool budgets tightened from MEASURED peak post-cull tier
+            # membership the same way: sizing margins (4x) are only needed
+            # while densification still moves the distribution, and
+            # oversized pools inflate the binning sort's candidate lanes
+            # (measured: the 1024^2 protocol's auto-sized div-1 ladder
+            # carried ~64M lanes for ~7.9M live).
+            new_spec = None
+            if tier_max is not None and cfg.binning == "tiered":
+                from gsplat_tpu.ops.binning import _normalize_tier_plan
+
+                n_cap = state.scene.num_gaussians
+                plan = _normalize_tier_plan(
+                    cfg.tier_spec, cfg.max_tiles_per_gaussian, n_cap
+                )
+                members = [int(x) for x in np.asarray(tier_max)]
+                spec, mi = [], 0
+                for k_lo, k_hi, budget in plan:
+                    if budget is None:
+                        spec.append((k_hi, 0))
+                        continue
+                    rows = int(members[mi] * retighten_capacity) + 256
+                    mi += 1
+                    spec.append((k_hi, max(1, n_cap // rows)))
+                new_spec = tuple(spec)
+            if 0 < new_max < cfg.max_intersections or (
+                new_spec is not None and new_spec != tuple(cfg.tier_spec)
+            ):
                 import dataclasses
 
                 tight_cfg = dataclasses.replace(
-                    cfg, max_intersections=new_max
+                    cfg,
+                    max_intersections=min(
+                        new_max or cfg.max_intersections,
+                        cfg.max_intersections,
+                    ),
+                    **(
+                        {"tier_spec": new_spec}
+                        if new_spec is not None else {}
+                    ),
                 )
                 print(
                     f"staged capacity: tightening max_intersections "
-                    f"{cfg.max_intersections} -> {new_max} at step "
+                    f"{cfg.max_intersections} -> "
+                    f"{tight_cfg.max_intersections} and tier_spec "
+                    f"{cfg.tier_spec} -> {tight_cfg.tier_spec} at step "
                     f"{it + 1} ({retighten_capacity}x peak demand "
-                    f"{demand_now}; re-jit follows)"
+                    f"{demand_now}, peak members "
+                    f"{None if tier_max is None else [int(x) for x in np.asarray(tier_max)]}; "
+                    "re-jit follows)"
                 )
                 step_fn = build_step(tight_cfg)
                 capacity_stage = "tight"

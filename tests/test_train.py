@@ -174,3 +174,27 @@ def test_staged_capacity_no_tighten_when_demand_high(capsys):
     )
     out = capsys.readouterr().out
     assert "staged capacity: tightening" not in out
+
+
+def test_staged_capacity_tightens_tier_spec(capsys):
+    """With tiered binning, the staged schedule also re-sizes pool budgets
+    from measured post-cull membership (aux['tier_members'])."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, binning="tiered", tier_spec=((4, 0), (8, 2), (16, 4), (32, 8)),
+    )
+    key = jax.random.key(2)
+    target_scene = random_scene(key, 60, sh_degree=1)
+    cam = Camera.default(cfg.width, cfg.height)
+    target = render(target_scene, cam, cfg).image
+    cameras = jax.tree.map(lambda x: x[None], cam)
+    targets = target[None]
+    trained, metrics = fit(
+        target_scene, cameras, targets, cfg, steps=10, lr=1e-3,
+        ssim_weight=0.0, log_every=5, overflow_policy="raise",
+        densify_until=4, retighten_capacity=1.5,
+    )
+    out = capsys.readouterr().out
+    assert "tier_spec" in out and "staged capacity: tightening" in out
+    assert np.isfinite(metrics[-1]["loss"])
